@@ -1,0 +1,105 @@
+"""Normalization + shingling as Column expression builders.
+
+Re-expresses the reference's cleaning stage (F1-F8 in SURVEY.md §2.8;
+reference: Regional_Run_Files/data_processing.py:15-137, org_suffixes.py:1-30)
+as pure Catalyst expressions — the reference does all of this with row-wise
+pandas ``.apply`` loops; here everything is whole-stage-codegen'd JVM work.
+
+Every builder has an exact DuckDB-dialect twin in oracle.py; keep the two in
+sync (the driver's correctness gate compares value hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Ordered longest-first, as the reference does for org suffixes
+# (reference: org_suffixes.py applies a dict of regex replacements;
+# data_processing.py:193,302). A trimmed, representative subset.
+ORG_SUFFIXES = [
+    ("limited liability partnership", "llp"),
+    ("public limited company", "plc"),
+    ("incorporated", "inc"),
+    ("corporation", "corp"),
+    ("limited", "ltd"),
+    ("company", "co"),
+]
+
+
+def normalize_ws(col: Column) -> Column:
+    """Lowercase, collapse runs of whitespace to one space, trim.
+
+    Reference analogue: remvPunct's lower/strip/double-space collapse
+    (data_processing.py:15-32).
+    """
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def remv_punct(col: Column) -> Column:
+    """Strip punctuation but keep '&', collapse whitespace, lower, trim.
+
+    Golden value from the reference's own unit test
+    (tests/test_data_processing.py:18-24):
+    'Ditta ABBOTT VASCULAR Knoll-Ravizza S.p.A.'
+      -> 'ditta abbott vascular knollravizza spa'
+    """
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9& ]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def std_org_suffixes(col: Column) -> Column:
+    """'limited'→'ltd' etc., longest pattern first (org_suffixes.py:1-30)."""
+    out = col
+    for long, short in ORG_SUFFIXES:
+        out = F.regexp_replace(out, r"\b" + long + r"\b", short)
+    return out
+
+
+def strip_digits(col: Column) -> Column:
+    """Reference data_processing.py:45-47 (remvStreetNumber-style)."""
+    return F.trim(F.regexp_replace(col, r"\d+", ""))
+
+
+def join_fields(*cols: Column) -> Column:
+    """concat name+address parts with single spaces (data_processing.py:34-43)."""
+    return F.trim(F.concat_ws(" ", *cols))
+
+
+def normalize_code(col: Column) -> Column:
+    """Code-adapted clean: strip line comments (#, //), block comments,
+    collapse whitespace, lower.  The code analogue of the reference's
+    name normalization — near-dup groups differing only in comments and
+    formatting normalize to equal strings.
+    """
+    no_block = F.regexp_replace(col, r"(?s)/\*.*?\*/", " ")
+    no_line = F.regexp_replace(no_block, r"(?m)(//|#)[^\n]*", " ")
+    return normalize_ws(no_line)
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Distinct k-word shingles of a normalized string → array<string>.
+
+    Pure expressions: split → sliding window via transform(sequence(...)).
+    Short texts (< k words) yield one shingle = the whole text, so no row
+    ever has an empty shingle set (keeps MinHash total).
+    """
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def char_shingles(col: Column, k: int) -> Column:
+    """Distinct k-char shingles → array<string> (code path)."""
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.substring(col, i, k))
+    return F.array_distinct(sh)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a normalized string (SimHash features)."""
+    return F.split(col, " ")

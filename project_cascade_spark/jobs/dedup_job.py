@@ -1,0 +1,77 @@
+"""spark-submit entry point for the dedup pipeline.
+
+    spark-submit --py-files cascade.zip project_cascade_spark/jobs/dedup_job.py \
+        --input <parquet path | iceberg table | synth:N> \
+        --workdir /tmp/cascade_run --report
+
+The reference's CLI analogue: runfile.py's argparse entry
+(/root/reference/runfile.py:77-118,257-261).  Stages checkpoint through a
+StageStore in --workdir, so re-running the same command resumes from the
+last completed stage (reference resume semantics, data_matching.py:47-73).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="cascade near-dup pipeline")
+    p.add_argument("--input", required=True,
+                   help="parquet path, iceberg table, or synth:<n_files>")
+    p.add_argument("--workdir", default=None,
+                   help="stage-store root (enables checkpoint/resume)")
+    p.add_argument("--master", default=None, help="spark master override")
+    p.add_argument("--preset", default="code", choices=["code", "default"])
+    p.add_argument("--no-substring-pass", action="store_true")
+    p.add_argument("--report", action="store_true",
+                   help="print a one-line JSON run report")
+    args = p.parse_args(argv)
+
+    from project_cascade_spark.config import CODE_CONFIG, DEFAULT_CONFIG
+    from project_cascade_spark.plans.pipeline import dedup_pipeline
+    from project_cascade_spark.session import build_session
+    from project_cascade_spark.sources.sinks import StageStore
+    from project_cascade_spark.sources.tables import load_code_files
+
+    cfg = CODE_CONFIG if args.preset == "code" else DEFAULT_CONFIG
+    spark = build_session("cascade-dedup", master=args.master)
+    t0 = time.time()
+
+    if args.input.startswith("synth:"):
+        from project_cascade_spark.datagen import generate_code_files
+
+        pdf, _truth = generate_code_files(int(args.input.split(":", 1)[1]))
+        df = load_code_files(spark, pdf)
+    else:
+        df = load_code_files(spark, args.input)
+
+    store = StageStore(spark, args.workdir) if args.workdir else None
+    res = dedup_pipeline(
+        df, cfg, store=store, with_substring_pass=not args.no_substring_pass
+    )
+
+    n_files = res.assignments.count()
+    n_clusters = res.assignments.select("cluster_id").distinct().count()
+    n_edges = res.edges.count()
+    n_substr = res.substring_pairs.count() if res.substring_pairs is not None else 0
+    wall = time.time() - t0
+    if args.report:
+        print(json.dumps({
+            "files": n_files,
+            "clusters": n_clusters,
+            "dup_edges": n_edges,
+            "substring_pairs": n_substr,
+            "wall_s": round(wall, 2),
+            "files_per_sec": round(n_files / wall, 1),
+            "resumable": bool(args.workdir),
+        }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Cascading quality filter + per-config stats + best-config selection.
+
+Reference analogues:
+- MatchFiltering.filter: per-band (char_count range, min_match_score)
+  threshold filter, 8 staged passes over one file
+  (Regional_Run_Files/match_filtering.py:18-84, config bands e.g.
+  Config_Files/1_config.py).  Re-expressed as a SINGLE pass: a when-chain
+  assigns each row its band, one filter applies the band's threshold —
+  semantically identical output, one scan instead of eight (SURVEY §4).
+- StatsCalculations.calculate_internals (data_analysis.py:23-64): counts,
+  conditional counts, averages, ratios → one aggregate.
+- VerificationAndUploads best-config argmax (match_filtering.py:173-175)
+  → max_by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (char_count_lo, char_count_hi, min_score] bands, reference-shaped
+# (Config_Files/1_config.py:20-100 uses dicts {char_counts, min_match_score}).
+DEFAULT_BANDS: list[tuple[int, int, float]] = [
+    (0, 20, 0.95),
+    (20, 50, 0.90),
+    (50, 200, 0.85),
+    (200, 1 << 31, 0.80),
+]
+
+
+def band_expr(length_col: Column, bands: list[tuple[int, int, float]]) -> Column:
+    """Band index for a length — when-chain, single pass."""
+    expr = F.lit(-1)
+    for i, (lo, hi, _score) in enumerate(bands):
+        expr = F.when((length_col > lo) & (length_col <= hi), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def threshold_expr(length_col: Column, bands: list[tuple[int, int, float]]) -> Column:
+    expr = F.lit(None).cast("double")
+    for lo, hi, score in bands:
+        expr = F.when((length_col > lo) & (length_col <= hi), F.lit(score)).otherwise(expr)
+    return expr
+
+
+def cascade_filter(
+    df: DataFrame,
+    length_col: str,
+    score_col: str,
+    bands: list[tuple[int, int, float]] | None = None,
+    keep: bool = True,
+) -> DataFrame:
+    """Keep rows whose score clears their length-band's threshold.
+
+    keep=False returns the complement (the reference's
+    getExcludedandNonMatches, match_filtering.py:87-147, SURVEY P5).
+    """
+    bands = bands or DEFAULT_BANDS
+    lcol = F.col(length_col)
+    passed = F.col(score_col) >= threshold_expr(lcol, bands)
+    out = df.withColumn("band", band_expr(lcol, bands))
+    return out.filter(passed if keep else ~F.coalesce(passed, F.lit(False)))
+
+
+def match_stats(
+    df: DataFrame, score_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group match statistics in one aggregate (SURVEY A5-A7)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(score_col)).alias("n_scored"),
+        F.round(F.avg(score_col), 4).alias("avg_score"),
+        F.round(F.min(score_col), 4).alias("min_score"),
+        F.round(F.max(score_col), 4).alias("max_score"),
+        F.sum(F.when(F.col(score_col) >= 0.9, 1).otherwise(0)).alias("n_high"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def best_config(stats: DataFrame, config_col: str, metric_col: str) -> DataFrame:
+    """argmax over per-config stats (SURVEY A9) — max_by, one reduce."""
+    return stats.agg(F.max_by(F.col(config_col), F.col(metric_col)).alias("best_config"))

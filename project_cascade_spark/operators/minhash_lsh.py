@@ -1,0 +1,88 @@
+"""MinHash signature + LSH band-join candidate generation.
+
+The Spark-native replacement for dedupe.io's learned blocking (reference:
+Regional_Run_Files/data_matching.py:173-192 invokes csvlink; evidence of the
+block→score→threshold flow in /root/reference/info.log:11-20).  Shape:
+
+    shingle hashes → MinHash signature → explode band keys
+      → self-equi-join on band → (id_a < id_b) pair dedup
+
+Scale notes (the part that matters at 10^12 files):
+- The band self-join shuffles on the band key only; AQE skew-join splitting
+  handles moderately hot bands.  Degenerate buckets (boilerplate shared by
+  millions of files) are capped at cfg.max_bucket_size via a row_number
+  guard — but the primary defense is running exact sha256 dedup FIRST
+  (operators/dedup.py) so identical content collapses to one representative
+  before LSH ever sees it.
+- Pair dedup (id_a < id_b + distinct) happens BEFORE the verify join, so the
+  expensive shingle-set join never sees a duplicate pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CascadeConfig
+from ..functions.hashing import band_keys, minhash_expr, shingle_hashes
+from ..functions.kernels import apply_minhash
+
+
+def add_minhash(
+    df: DataFrame,
+    shingles_col: str,
+    cfg: CascadeConfig,
+    out_col: str = "minhash",
+    use_kernel: bool = True,
+) -> DataFrame:
+    """Attach the MinHash signature column.
+
+    use_kernel=True → Arrow/numpy kernel (scale path); False → pure
+    Catalyst expressions (oracle-parity path).  Both produce identical
+    values (tests/test_kernels_parity.py).
+    """
+    hashes = shingle_hashes(F.col(shingles_col))
+    if use_kernel:
+        df = df.withColumn("_sh_hashes", hashes)
+        df = df.withColumn(out_col, apply_minhash(F.col("_sh_hashes"), cfg)).drop("_sh_hashes")
+        return df
+    return df.withColumn(out_col, minhash_expr(hashes, cfg))
+
+
+def explode_bands(
+    df: DataFrame, id_col: str, sig_col: str, cfg: CascadeConfig
+) -> DataFrame:
+    """(id, band) rows — one per LSH band."""
+    return df.select(
+        F.col(id_col), F.explode(band_keys(F.col(sig_col), cfg)).alias("band")
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    cfg: CascadeConfig,
+    cap_buckets: bool = False,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH band collisions."""
+    bands = explode_bands(df, id_col, sig_col, cfg)
+    if cap_buckets and cfg.max_bucket_size:
+        # Skew guard: a bucket of size s yields s^2/2 pairs; cap the tail.
+        # Recall impact is nil after exact-dedup because residual giant
+        # buckets are near-identical boilerplate already connected through
+        # other bands / the exact-dup stage.
+        w = Window.partitionBy("band").orderBy(id_col)
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cfg.max_bucket_size)
+            .drop("_rn")
+        )
+    left = bands.select(F.col(id_col).alias("id_a"), "band")
+    right = bands.select(F.col(id_col).alias("id_b"), "band")
+    return (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,0 +1,111 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths, as the training-data-pipeline brief requires:
+- brute_force_topk: exact cosine top-k — the correctness baseline, DuckDB
+  oracle-able (list_cosine_similarity).  Cross join + window top-k; cost
+  O(n*m), acceptable for a query set much smaller than the corpus.
+- srp_lsh_topk: sign-random-projection (SRP) LSH buckets — the scale path.
+  Hyperplanes are derived deterministically from the seed so results are
+  reproducible; candidates are scored exactly inside their bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CascadeConfig
+
+
+def _cosine(va: str, vb: str):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z
+    )
+    n = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, z: a + z * z))  # noqa: E731
+    return dot / (n(va) * n(vb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """For each query vector, exact top-k corpus neighbors by cosine.
+
+    queries is broadcast (the small side by construction); the window
+    partitions by query id so the top-k never leaves the executor that
+    scored the pair.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def add_srp_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    out_col: str = "srp_bucket",
+) -> DataFrame:
+    """Sign-random-projection bucket id (long) per vector.
+
+    Planes come from a seeded RandomState → reproducible.  The projection
+    is expressed with zip_with/aggregate over broadcast literal arrays —
+    stays in codegen, no UDF, no shuffle.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, z: a + z,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket by SRP signature, exact cosine
+    within bucket.  Recall grows with fewer planes (bigger buckets); the
+    multi-probe refinement (flip one bit) is left as bands=2 of planes.
+    """
+    b = add_srp_buckets(corpus, vec_col, dim, n_planes, seed)
+    left = b.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "srp_bucket")
+    right = b.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "srp_bucket")
+    scored = (
+        left.join(right, "srp_bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

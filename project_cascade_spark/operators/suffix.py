@@ -1,0 +1,151 @@
+"""Long-exact-substring candidate generation — the suffix-array path.
+
+The north_rule mandates a suffix-array pass for long exact substrings.  A
+single global suffix array over 100 TB of text cannot exist; the scalable
+decomposition here is the standard two-level design:
+
+1. **Winnowing fingerprints** (Schleimer et al., SIGMOD'03 — the MOSS
+   algorithm) as the distributed blocking step: k-gram hashes, sliding
+   window of w, keep window minima.  Guarantee: any substring of length
+   >= k + w - 1 shared by two documents yields at least one shared
+   fingerprint, so fingerprint-equality equi-join is a COMPLETE candidate
+   generator for long exact substrings.  Pure shuffle-on-key Catalyst work.
+
+2. **Per-pair exact verification** with a local suffix array: for each
+   candidate pair, build the suffix array of a#b$ inside an Arrow batch
+   (numpy argsort of suffixes, O(L log L) per pair, bounded by the pair's
+   combined length) and report the longest common substring length from
+   adjacent cross-document suffixes (Kasai LCP).  Runs in applyInPandas —
+   partition-local, no driver involvement.
+
+Reference analogue: none (dedupe.io has no substring path); mandated by
+BASELINE.json north_rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CascadeConfig
+from ..functions.hashing import kgram_hashes, window_min_prints
+from ..functions.kernels import make_winnow_udf
+
+
+def add_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    cfg: CascadeConfig,
+    out_col: str = "fingerprints",
+    use_kernel: bool = True,
+) -> DataFrame:
+    """k-gram hashes are materialized as a column first (see
+    functions/hashing.kgram_hashes for why), then winnowed — via the O(m)
+    rolling-min Arrow kernel by default, or the expression form for the
+    oracle-parity path."""
+    grams = kgram_hashes(F.col(text_col), cfg.winnow_k)
+    df = df.withColumn("_grams", grams)
+    if use_kernel:
+        df = df.withColumn(out_col, make_winnow_udf(cfg)(F.col("_grams")))
+    else:
+        df = df.withColumn(out_col, window_min_prints(F.col("_grams"), cfg.winnow_w))
+    return df.drop("_grams")
+
+
+def fingerprint_candidate_pairs(
+    df: DataFrame, id_col: str, fp_col: str, cfg: CascadeConfig
+) -> DataFrame:
+    """Distinct pairs sharing >= 1 winnowing fingerprint (id_a < id_b)."""
+    fps = df.select(F.col(id_col), F.explode(F.col(fp_col)).alias("fp"))
+    left = fps.select(F.col(id_col).alias("id_a"), "fp")
+    right = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _lcs_via_suffix_array(a: str, b: str) -> int:
+    """Longest common substring length via suffix array + Kasai LCP.
+
+    numpy argsort over suffix ranks (prefix-doubling) keeps this vectorized;
+    strings are bounded by per-document size so memory is partition-local.
+    """
+    sep = "\x00"
+    s = a + sep + b
+    n = len(s)
+    if n == 1:
+        return 0
+    # prefix-doubling suffix array
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        sa = order
+        combined = rank[order] * (n + 1) + (key2[order] + 1)
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(np.concatenate(([0], (np.diff(combined) != 0).astype(np.int64))))
+        rank = new_rank
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    # Kasai LCP
+    pos = np.empty(n, dtype=np.int64)
+    pos[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    la = len(a)
+    for i in range(n):
+        if pos[i] > 0:
+            j = sa[pos[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[pos[i]] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    # best LCP between suffixes from different documents (separator-safe:
+    # common prefixes cannot cross the \x00 separator)
+    side = sa < la  # True: suffix starts in a
+    best = 0
+    for p in range(1, n):
+        if side[p] != side[p - 1]:
+            best = max(best, int(lcp[p]))
+    return best
+
+
+def verify_long_substring(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: CascadeConfig,
+) -> DataFrame:
+    """(id_a, id_b, lcs_len) for pairs whose exact longest common substring
+    reaches cfg.min_common_substring.  applyInPandas over pair batches.
+    """
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    min_len = cfg.min_common_substring
+
+    def check(batch_iter):
+        for pdf in batch_iter:
+            lens = [
+                _lcs_via_suffix_array(x or "", y or "")
+                for x, y in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            out = pdf[["id_a", "id_b"]].copy()
+            out["lcs_len"] = np.asarray(lens, dtype=np.int64)
+            yield out[out["lcs_len"] >= min_len]
+
+    return joined.mapInPandas(check, "id_a long, id_b long, lcs_len long")

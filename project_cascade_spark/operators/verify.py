@@ -1,0 +1,46 @@
+"""Jaccard verification of candidate pairs.
+
+Reference analogue: the threshold step of dedupe.io's scoring
+(recall_weight=1 thresholding, evidence /root/reference/info.log:17-18) and
+the reference's own Levenshtein-ratio quality score
+(Regional_Run_Files/data_processing.py:139-149).  Here the verify metric is
+exact Jaccard over distinct shingle sets (north_rule), computed with
+built-in array expressions — no Python in the loop.
+
+Scale: the two id-equi-joins below shuffle the shingle arrays once each;
+pairs were deduped upstream so no array travels twice for the same pair.
+At cluster scale you'd bucket `docs` by id so these joins are shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CascadeConfig
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    cfg: CascadeConfig,
+    keep_below: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with jaccard >= cfg.jaccard_threshold.
+
+    Shingle arrays must already be distinct (word_shingles/char_shingles
+    emit array_distinct output).
+    """
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    scored = joined.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    )
+    if keep_below:
+        return scored
+    return scored.filter(F.col("jaccard") >= cfg.jaccard_threshold)

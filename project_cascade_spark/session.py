@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Local mode here, but every knob is the one you'd set on a 1000-executor
+cluster: AQE on (runtime shuffle-partition coalescing + skew-join splitting),
+Arrow transfer for the pandas-UDF kernels, and shuffle partitions sized to
+the parallelism level.  Iceberg catalog config is applied only when the
+runtime jar is present (it is not bundled in this sandbox); the checkpointing
+layer (sources/sinks.py) degrades to parquet + a stage-state table with the
+same resume semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "project_cascade_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    # shuffle partitions ~ parallelism: avoids tiny-partition overhead at
+    # local scale; on a real cluster you'd set 2-3x total cores and let AQE
+    # coalesce down.
+    if shuffle_partitions is None:
+        par = "".join(c for c in master if c.isdigit()) or "32"
+        shuffle_partitions = max(int(par), 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
