@@ -122,10 +122,15 @@ def generate_code_files(
     rows: list[tuple[str, str, str, str, str]] = []
     truth: list[tuple[str, str, str, str, int]] = []
     gid = 0
-    long_block = "\n".join(
-        f"    table_{i} = lookup_{i % 7}({i} * stride + base_offset_{i % 5})"
-        for i in range(18)
-    )
+
+    def make_block(tag: int) -> str:
+        # per-group verbatim block: keeps fingerprint buckets bounded (a
+        # single global block would put every 'block' file in one bucket —
+        # quadratic candidate blowup at bench sizes)
+        return "\n".join(
+            f"    table_{tag}_{i} = lookup_{i % 7}({i} * stride + base_{tag}_{i % 5})"
+            for i in range(18)
+        )
 
     def emit(content: str, lang: str, kind: str, group: int) -> None:
         i = len(rows)
@@ -186,6 +191,7 @@ def generate_code_files(
     while made < budget_block:
         gid += 1
         lang = "py"
+        long_block = make_block(gid)
         a = _base_file(rng, lang, int(rng.randint(30, 60))) + "\n" + long_block
         b = _base_file(rng, lang, int(rng.randint(30, 60))) + "\n" + long_block
         emit(a, lang, "block", gid)

@@ -55,10 +55,27 @@ def add_fingerprints(
 
 
 def fingerprint_candidate_pairs(
-    df: DataFrame, id_col: str, fp_col: str, cfg: CascadeConfig
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    cfg: CascadeConfig,
+    template_filter: bool = False,
 ) -> DataFrame:
-    """Distinct pairs sharing >= 1 winnowing fingerprint (id_a < id_b)."""
+    """Distinct pairs sharing >= 1 winnowing fingerprint (id_a < id_b).
+
+    template_filter=True drops fingerprints whose document frequency exceeds
+    cfg.max_bucket_size — the MOSS move for boilerplate/template text: a
+    fingerprint shared by thousands of files is template code, and keeping
+    it would emit a quadratic pair set.  Off for the oracle-parity query.
+    """
     fps = df.select(F.col(id_col), F.explode(F.col(fp_col)).alias("fp"))
+    if template_filter and cfg.max_bucket_size:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = (
+            fps.join(freq, "fp")
+            .filter(F.col("_df") <= cfg.max_bucket_size)
+            .drop("_df")
+        )
     left = fps.select(F.col(id_col).alias("id_a"), "fp")
     right = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -149,7 +149,9 @@ def dedup_pipeline(
 
         def _substr() -> DataFrame:
             fps = add_fingerprints(prepared, "norm", cfg)
-            cand = fingerprint_candidate_pairs(fps, "file_id", "fingerprints", cfg)
+            cand = fingerprint_candidate_pairs(
+                fps, "file_id", "fingerprints", cfg, template_filter=True
+            )
             # long-substring pairs that are ALSO near-dups are already edges;
             # the side output reports the rest (shared-block detection).
             fresh = cand.join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")

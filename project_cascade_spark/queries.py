@@ -1,0 +1,351 @@
+"""Driver-contract queries: one callable per implemented operator family.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names, types and (rounded) values match the DuckDB oracle twin in oracle.py
+— the driver compares them via order-insensitive value hash.  Keep both
+sides in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import CascadeConfig, DEFAULT_CONFIG
+from .functions.hashing import hash60, shingle_hashes
+from .functions.text import normalize_ws, word_shingles
+from .operators import textstats
+from .operators.assign import attach_clusters
+from .operators.connected_components import connected_components
+from .operators.dedup import embedding_near_dup, ngram_jaccard_pairs
+from .operators.minhash_lsh import add_minhash, candidate_pairs
+from .operators.simhash import add_simhash, simhash_candidate_pairs
+from .operators.suffix import add_fingerprints, fingerprint_candidate_pairs
+from .operators.verify import jaccard_verify
+from .sources.tables import load_testdata
+
+DOC_CFG = DEFAULT_CONFIG                     # word 3-shingles, 64 perm, 16x4, τ=0.8
+DOC_WINNOW_CFG = CascadeConfig(winnow_k=16, winnow_w=16)
+EMB_DIM = 64
+EMB_TOPK = 5
+EMB_QUERIES = 25
+EMB_NEAR_DUP_T = 0.4  # data-driven: max pairwise cosine in testdata is ~0.51
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("norm", normalize_ws(F.col("text")))
+        .withColumn("shingles", word_shingles(F.col("norm"), DOC_CFG.shingle_k))
+    )
+
+
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_shingled(spark, sf_dir)
+    sig = add_minhash(sh, "shingles", DOC_CFG, use_kernel=True)
+    cand = candidate_pairs(sig, "doc_id", "minhash", DOC_CFG)
+    ver = jaccard_verify(cand, sh, "doc_id", "shingles", DOC_CFG)
+    return ver.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_shingled(spark, sf_dir)
+    sig = add_minhash(sh, "shingles", DOC_CFG, use_kernel=True)
+    cand = candidate_pairs(sig, "doc_id", "minhash", DOC_CFG)
+    edges = jaccard_verify(cand, sh, "doc_id", "shingles", DOC_CFG)
+    cc = connected_components(edges, "id_a", "id_b")
+    return attach_clusters(sh.select("doc_id"), cc, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_shingled(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(sh, "doc_id", "shingles", DOC_CFG.jaccard_threshold)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    norm = docs.withColumn("norm", normalize_ws(F.col("text")))
+    return norm.groupBy(F.md5("norm").alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("rep_id")
+    )
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.withColumn("tokens", F.split(normalize_ws(F.col("text")), " "))
+    sim = add_simhash(toks, "tokens", DOC_CFG, use_kernel=True)
+    pairs = simhash_candidate_pairs(sim, "doc_id", "simhash", DOC_CFG)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    norm = docs.withColumn("norm", normalize_ws(F.col("text")))
+    fps = add_fingerprints(norm, "norm", DOC_WINNOW_CFG, use_kernel=True)
+    return fingerprint_candidate_pairs(fps, "doc_id", "fingerprints", DOC_WINNOW_CFG)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", hash60(normalize_ws(F.col("text"))).alias("doc_fp")
+    )
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return textstats.token_counts(docs, "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return textstats.quality_features(docs, "text").select(
+        "doc_id", "n_chars_calc", "n_tokens", "stop_ratio", "punct_ratio",
+        "mean_tok_len", "quality_score",
+    )
+
+
+def cascade_band_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") <= 150, 0)
+        .when(F.col("n_chars") <= 300, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    alpha = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    feat = docs.select(
+        "doc_id", band.alias("band"), alpha.alias("alpha_ratio")
+    )
+    thr = (
+        F.when(F.col("band") == 0, 0.97)
+        .when(F.col("band") == 1, 0.95)
+        .otherwise(0.90)
+    )
+    return feat.filter(F.col("alpha_ratio") >= thr).select(
+        "doc_id", "band", F.round("alpha_ratio", 6).alias("alpha_ratio")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    # float64 arithmetic so values match the oracle exactly
+    return emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+def emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < EMB_QUERIES)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", EMB_TOPK)
+    return out.select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dup(emb, "vec_id", "embedding", EMB_NEAR_DUP_T)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# --------------------------- TPC-H-ish operators ---------------------------
+
+def match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias("n_high_disc"),
+    )
+
+
+def cluster_sizes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+def propagate_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderpriority").over(w).alias("best_priority"),
+    )
+
+
+def blacklist_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_testdata(spark, sf_dir, "customer")
+    n = load_testdata(spark, sf_dir, "nation")
+    r = load_testdata(spark, sf_dir, "region")
+    blacklist = n.join(r, n.n_regionkey == r.r_regionkey).filter(
+        F.col("r_regionkey") == 0
+    ).select("n_nationkey")
+    return c.join(
+        F.broadcast(blacklist), c.c_nationkey == blacklist.n_nationkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def addback_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_testdata(spark, sf_dir, "customer")
+    o = load_testdata(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.unionByName(b).dropDuplicates()
+
+
+def singleton_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_testdata(spark, sf_dir, "customer")
+    w = Window.orderBy("c_name")
+    return c.select(
+        "c_custkey", F.dense_rank().over(w).cast("long").alias("new_cluster_id")
+    )
+
+
+def best_config_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_testdata(spark, sf_dir, "customer")
+    stats = c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    return stats.agg(
+        F.max_by(F.col("c_mktsegment"), F.col("avg_bal")).alias("best_config")
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_testdata(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+def build_queries() -> dict:
+    return {
+        "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_near_dup_clusters": doc_near_dup_clusters,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_winnow_pairs": doc_winnow_pairs,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_token_counts": doc_token_counts,
+        "doc_language_id": doc_language_id,
+        "doc_quality": doc_quality,
+        "cascade_band_filter": cascade_band_filter_docs,
+        "emb_topk": emb_topk,
+        "emb_near_dup": emb_near_dup,
+        "match_stats": match_stats,
+        "cluster_sizes_window": cluster_sizes_window,
+        "distinct_on": distinct_on,
+        "propagate_best": propagate_best,
+        "blacklist_anti_join": blacklist_anti_join,
+        "addback_right_outer": addback_right_outer,
+        "union_dedup": union_dedup,
+        "singleton_renumber": singleton_renumber,
+        "best_config_argmax": best_config_argmax,
+        "topk_orders": topk_orders,
+        "events_windowed_agg": events_windowed_agg,
+        "events_json_extract": events_json_extract,
+    }
+
+
+def build_oracles() -> dict:
+    from . import oracle as o
+
+    return {
+        "doc_minhash_pairs": o.doc_minhash_pairs_sql(DOC_CFG),
+        "doc_near_dup_clusters": o.doc_near_dup_clusters_sql(DOC_CFG),
+        "doc_ngram_jaccard": o.doc_ngram_jaccard_pairs_sql(DOC_CFG),
+        "doc_exact_dedup": o.doc_exact_dedup_sql(),
+        "doc_simhash_pairs": o.doc_simhash_pairs_sql(DOC_CFG),
+        "doc_winnow_pairs": o.doc_winnow_pairs_sql(DOC_WINNOW_CFG),
+        "doc_fingerprint": o.doc_fingerprint_sql(),
+        "doc_token_counts": o.doc_token_counts_sql(),
+        "doc_language_id": o.doc_language_id_sql(),
+        "doc_quality": o.doc_quality_sql(),
+        "cascade_band_filter": o.cascade_band_filter_sql(),
+        "emb_topk": o.emb_topk_sql(EMB_TOPK, EMB_QUERIES, EMB_DIM),
+        "emb_near_dup": o.emb_near_dup_sql(EMB_NEAR_DUP_T, EMB_DIM),
+        "match_stats": o.match_stats_sql(),
+        "cluster_sizes_window": o.cluster_sizes_window_sql(),
+        "distinct_on": o.distinct_on_sql(),
+        "propagate_best": o.propagate_best_sql(),
+        "blacklist_anti_join": o.blacklist_anti_join_sql(),
+        "addback_right_outer": o.addback_right_outer_sql(),
+        "union_dedup": o.union_dedup_sql(),
+        "singleton_renumber": o.singleton_renumber_sql(),
+        "best_config_argmax": o.best_config_argmax_sql(),
+        "topk_orders": o.topk_orders_sql(),
+        "events_windowed_agg": o.events_windowed_agg_sql(),
+        "events_json_extract": o.events_json_extract_sql(),
+    }
