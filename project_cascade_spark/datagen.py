@@ -171,7 +171,10 @@ def generate_code_files(
         emit(base, lang, "short", gid)
         made += 1
         if made < budget_short:
-            emit(_mutate(rng, base, ["comment"]), lang, "short", gid)
+            # rename (a real token change): comment-only variants normalize
+            # to identical text and collapse in level-2 exact dedup, which
+            # would leave the SimHash path unexercised
+            emit(_mutate(rng, base, ["rename"]), lang, "short", gid)
             made += 1
 
     # exact copies

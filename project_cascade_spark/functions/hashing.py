@@ -31,6 +31,23 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
 
 
+def fast_shingle_hashes(shingles: Column) -> Column:
+    """xxhash64-based variant, ~50x cheaper than the md5 primitive.
+
+    Used by the code pipeline where only internal consistency matters;
+    the md5 form exists for DuckDB oracle parity (documents queries)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+
+
+def fast_kgram_hashes(col: Column, k: int) -> Column:
+    """xxhash64 k-gram hashes (pipeline-internal winnowing)."""
+    n = F.length(col)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.xxhash64(F.substring(col, i, k))
+    )
+
+
 def token_hashes(toks: Column) -> Column:
     """array<string> tokens → array<long> full 60-bit (SimHash features)."""
     return F.transform(toks, hash60)

@@ -30,17 +30,50 @@ def make_minhash_udf(cfg: CascadeConfig):
     to the expression form and to the DuckDB oracle.
     """
     a, b = cfg.perms  # int64 arrays, shape (num_perm,)
+    # Sub-batch so the (num_perm × hashes) work matrix stays ~16 MB: a full
+    # Arrow batch can hold ~5M hash elements, and materializing
+    # num_perm × 5M × 8B (≈5 GB) per Python worker × 32 workers melts the
+    # box (memory-bandwidth saturation measured as a 6x slowdown).
+    sub_elems = max(1, 2_000_000 // max(int(a.shape[0]), 1))
 
     @pandas_udf("array<bigint>")
     def minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for xs in hashes:
+        out = [None] * len(hashes)
+        nperm = a.shape[0]
+        aT, bT = a[:, None], b[:, None]
+        group_rows: list[int] = []
+        group_arrs: list[np.ndarray] = []
+        group_total = 0
+
+        def flush() -> None:
+            nonlocal group_rows, group_arrs, group_total
+            if not group_rows:
+                return
+            flat = np.concatenate(group_arrs)
+            y = aT * flat[None, :]
+            y += bT
+            # Mersenne-prime reduction: y mod (2^31-1) via two shift-folds
+            # — identical result to %, ~3x faster than integer division
+            y = (y & MERSENNE31) + (y >> 31)
+            y = (y & MERSENNE31) + (y >> 31)
+            y[y >= MERSENNE31] -= MERSENNE31
+            lens = np.fromiter((x.shape[0] for x in group_arrs), dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            sigs = np.minimum.reduceat(y, offsets, axis=1)  # (nperm, n_rows)
+            for j, i in enumerate(group_rows):
+                out[i] = sigs[:, j]
+            group_rows, group_arrs, group_total = [], [], 0
+
+        for i, xs in enumerate(hashes):
             if xs is None or len(xs) == 0:
-                out.append(None)
                 continue
-            x = np.asarray(xs, dtype=np.int64)
-            sig = ((a[:, None] * x[None, :] + b[:, None]) % MERSENNE31).min(axis=1)
-            out.append(sig)
+            arr = np.asarray(xs, dtype=np.int64)
+            group_rows.append(i)
+            group_arrs.append(arr)
+            group_total += arr.shape[0]
+            if group_total >= sub_elems:
+                flush()
+        flush()
         return pd.Series(out)
 
     return minhash
@@ -57,15 +90,25 @@ def make_simhash_udf(cfg: CascadeConfig):
 
     @pandas_udf("bigint")
     def simhash(hashes: pd.Series) -> pd.Series:
+        # batch-level vectorization: unpack all token hashes at once,
+        # add.reduceat sums votes per row
+        lens = np.fromiter(
+            (0 if xs is None else len(xs) for xs in hashes), dtype=np.int64,
+            count=len(hashes),
+        )
+        flat = np.concatenate(
+            [np.asarray(xs, dtype=np.int64) for xs in hashes if xs is not None and len(xs)]
+            or [np.empty(0, dtype=np.int64)]
+        )
         out = np.zeros(len(hashes), dtype=np.int64)
-        for i, xs in enumerate(hashes):
-            if xs is None or len(xs) == 0:
-                out[i] = 0
-                continue
-            x = np.asarray(xs, dtype=np.int64)
-            bits = (x[:, None] >> shifts[None, :]) & 1          # (ntok, nbits)
-            votes = (2 * bits - 1).sum(axis=0)                  # (nbits,)
-            out[i] = int(((votes >= 0).astype(np.int64) << shifts).sum())
+        if flat.shape[0]:
+            bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+            signed = 2 * bits - 1                               # (total, nbits)
+            nz = lens > 0
+            offsets = np.concatenate(([0], np.cumsum(lens[nz])))[:-1]
+            votes = np.add.reduceat(signed, offsets, axis=0)    # (n_nonzero, nbits)
+            sims = ((votes >= 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+            out[np.flatnonzero(nz)] = sims
         return pd.Series(out)
 
     return simhash
@@ -92,9 +135,7 @@ def make_winnow_udf(cfg: CascadeConfig):
             if m <= w:
                 out.append(np.array([x.min()], dtype=np.int64))
                 continue
-            # sliding min via numpy stride trick on the prefix structure:
-            # use pandas' rolling min (C-implemented) for simplicity.
-            mins = pd.Series(x).rolling(w).min().to_numpy()[w - 1:].astype(np.int64)
+            mins = np.lib.stride_tricks.sliding_window_view(x, w).min(axis=1)
             seen: dict[int, None] = {}
             for v in mins:
                 if v not in seen:

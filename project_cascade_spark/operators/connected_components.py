@@ -62,21 +62,57 @@ def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
+def _local_union_find(rows: list, spark) -> DataFrame:
+    """Exact union-find on collected edges — same output contract as the
+    distributed path (cluster_id = component min)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(out, "id long, cluster_id long")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in `edges`; cluster_id is
     the minimum node id of the component.  Nodes absent from `edges`
     (singletons) are the caller's business (see assign.attach_clusters).
+
+    Adaptive: edge sets under `driver_threshold` are solved with an exact
+    in-driver union-find (each distributed iteration costs several shuffle
+    rounds of fixed latency — pure overhead when the edges fit in one task);
+    larger sets run the alternating large-star/small-star joins.  Pass
+    driver_threshold=0 to force the distributed path (tests do).
     """
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if driver_threshold:
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            return _local_union_find(
+                [(r["u"], r["v"]) for r in e.collect()], edges.sparkSession
+            )
     prev = _edge_checksum(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

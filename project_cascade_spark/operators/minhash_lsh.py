@@ -64,9 +64,20 @@ def candidate_pairs(
     sig_col: str,
     cfg: CascadeConfig,
     cap_buckets: bool = False,
+    size_col: str | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) from LSH band collisions."""
-    bands = explode_bands(df, id_col, sig_col, cfg)
+    """Distinct candidate pairs (id_a < id_b) from LSH band collisions.
+
+    size_col: optional shingle-set-size column.  When given, pairs whose
+    size ratio is below the Jaccard threshold are dropped BEFORE the
+    expensive shingle-array verify join — safe, because
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|): no verified pair can be lost.
+    With the r=2 geometry this prunes the candidate set severalfold.
+    """
+    cols = [F.col(id_col), F.explode(band_keys(F.col(sig_col), cfg)).alias("band")]
+    if size_col:
+        cols.insert(1, F.col(size_col))
+    bands = df.select(*cols)
     if cap_buckets and cfg.max_bucket_size:
         # Skew guard: a bucket of size s yields s^2/2 pairs; cap the tail.
         # Recall impact is nil after exact-dedup because residual giant
@@ -78,11 +89,17 @@ def candidate_pairs(
             .filter(F.col("_rn") <= cfg.max_bucket_size)
             .drop("_rn")
         )
-    left = bands.select(F.col(id_col).alias("id_a"), "band")
-    right = bands.select(F.col(id_col).alias("id_b"), "band")
-    return (
-        left.join(right, "band")
+    lcols = [F.col(id_col).alias("id_a"), F.col("band")]
+    rcols = [F.col(id_col).alias("id_b"), F.col("band")]
+    if size_col:
+        lcols.insert(1, F.col(size_col).alias("n_a"))
+        rcols.insert(1, F.col(size_col).alias("n_b"))
+    pairs = (
+        bands.select(*lcols)
+        .join(bands.select(*rcols), "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
+    if size_col:
+        ratio = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+        pairs = pairs.filter(ratio >= F.lit(cfg.jaccard_threshold))
+    return pairs.select("id_a", "id_b").distinct()

@@ -40,12 +40,19 @@ def add_fingerprints(
     cfg: CascadeConfig,
     out_col: str = "fingerprints",
     use_kernel: bool = True,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """k-gram hashes are materialized as a column first (see
     functions/hashing.kgram_hashes for why), then winnowed — via the O(m)
     rolling-min Arrow kernel by default, or the expression form for the
-    oracle-parity path."""
-    grams = kgram_hashes(F.col(text_col), cfg.winnow_k)
+    oracle-parity path.  fast_hash=True swaps md5 for xxhash64 (pipeline
+    path; no oracle parity needed)."""
+    if fast_hash:
+        from ..functions.hashing import fast_kgram_hashes
+
+        grams = fast_kgram_hashes(F.col(text_col), cfg.winnow_k)
+    else:
+        grams = kgram_hashes(F.col(text_col), cfg.winnow_k)
     df = df.withColumn("_grams", grams)
     if use_kernel:
         df = df.withColumn(out_col, make_winnow_udf(cfg)(F.col("_grams")))
@@ -140,6 +147,44 @@ def _lcs_via_suffix_array(a: str, b: str) -> int:
     return best
 
 
+def _grams(s: str, L: int) -> set:
+    return {s[i : i + L] for i in range(len(s) - L + 1)}
+
+
+def _share_gram(a: str, b: str, L: int) -> bool:
+    """True iff a and b share an L-char substring.  Builds one set from the
+    shorter string and streams the longer through isdisjoint — short-circuits
+    on the first hit and never materializes the second set."""
+    if min(len(a), len(b)) < L:
+        return False
+    if len(b) < len(a):
+        a, b = b, a
+    ga = _grams(a, L)
+    return not ga.isdisjoint(b[i : i + L] for i in range(len(b) - L + 1))
+
+
+def common_substring_len(a: str, b: str, min_len: int) -> int:
+    """Exact longest-common-substring length, 0 if below min_len.
+
+    Screen at min_len with an exact common-L-gram check (Python sets
+    compare the actual strings), then binary-search the maximal L whose
+    L-gram sets intersect.  O(n log n) with C-speed set ops per round —
+    replaces the per-character Kasai LCP loop that dominated the pipeline
+    wall (57s of 97s at 1000 files).
+    """
+    if not _share_gram(a, b, min_len):
+        return 0
+    lo, hi = min_len, min(len(a), len(b))
+    # invariant: L=lo intersects; find max such L
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _grams(a, mid) & _grams(b, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def verify_long_substring(
     pairs: DataFrame,
     docs: DataFrame,
@@ -148,17 +193,23 @@ def verify_long_substring(
     cfg: CascadeConfig,
 ) -> DataFrame:
     """(id_a, id_b, lcs_len) for pairs whose exact longest common substring
-    reaches cfg.min_common_substring.  applyInPandas over pair batches.
+    reaches cfg.min_common_substring.  mapInPandas over pair batches;
+    per-pair work is the set-based exact LCS above (the suffix-array
+    routine is kept for cross-validation in tests).
     """
     a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
+    # AQE coalesces the candidate join to ~1 partition (small bytes); the
+    # Python LCS work below needs partitions ∝ cores
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(max(par, 8))
     min_len = cfg.min_common_substring
 
     def check(batch_iter):
         for pdf in batch_iter:
             lens = [
-                _lcs_via_suffix_array(x or "", y or "")
+                common_substring_len(x or "", y or "", min_len)
                 for x, y in zip(pdf["text_a"], pdf["text_b"])
             ]
             out = pdf[["id_a", "id_b"]].copy()

@@ -59,60 +59,139 @@ def dedup_pipeline(
     with_substring_pass: bool = True,
     use_kernel: bool = True,
 ) -> PipelineResult:
-    # With a store, stages are durable parquet (resume semantics); without,
-    # stages are eagerly localCheckpoint'ed — each stage computes exactly
-    # once and downstream lineage starts from materialized partitions
-    # (otherwise the multi-consumer DAG recomputes the UDF stages per use).
+    # With a store, every stage is durable parquet (resume semantics).
+    # Without one, only MULTI-CONSUMER stages are localCheckpoint'ed (so the
+    # UDF stages compute exactly once); single-consumer stages stay lazy and
+    # fuse into their consumer — fewer actions, less fixed overhead.
     if store:
-        run = lambda stage, fn: store.run(stage, fn)  # noqa: E731
+        def run(stage, fn, persist=True):  # noqa: ARG001
+            return store.run(stage, fn)
     else:
-        run = lambda stage, fn: fn().localCheckpoint(eager=True)  # noqa: E731
+        def run(stage, fn, persist=True):
+            return fn().localCheckpoint(eager=True) if persist else fn()
 
+    # spread the input across cores before any per-row work: a single
+    # parquet file (or a pandas-sourced frame) arrives as 1 partition and
+    # would serialize sha256 + normalization
+    par = code_files.sparkSession.sparkContext.defaultParallelism
     files = run(
         "00_input",
-        lambda: add_content_hash(code_files, "content"),
+        lambda: add_content_hash(
+            code_files.repartition(max(par, 8)), "content"
+        ),
     )
 
+    # level-1 exact dedup: byte-identical content (sha256)
     reps, mapping = exact_dedup(files, "file_id", "content_sha")
-    reps = run("01_reps", lambda: reps)
-    mapping = run("01_mapping", lambda: mapping)
+    reps = run("01_reps", lambda: reps, persist=False)
+    mapping = run("01_mapping", lambda: mapping, persist=False)
+
+    # level-2 exact dedup: identical AFTER normalization (the reference's
+    # clean-then-drop_duplicates move, data_matching.py:197) — whitespace/
+    # comment variants collapse here and never reach LSH
+    def _normed() -> DataFrame:
+        return reps.withColumn("norm", normalize_code(F.col("content"))).select(
+            "file_id", "norm"
+        )
+
+    # persisted: three consumers (norm_reps_df, norm_mapping, prepared) —
+    # lazy would run the normalization regexes three times
+    normed = run("01b_normed", _normed)
+    norm_reps_df = run(
+        "01c_norm_reps",
+        lambda: normed.groupBy(F.md5("norm").alias("_nmd5")).agg(
+            F.min("file_id").alias("nrep_id")
+        ),
+    )
+    norm_mapping = run(
+        "01c_norm_mapping",
+        lambda: normed.select("file_id", F.md5("norm").alias("_nmd5"))
+        .join(norm_reps_df, "_nmd5")
+        .select(F.col("file_id").alias("rep_id"), "nrep_id"),
+        persist=False,
+    )
 
     def _prepared() -> DataFrame:
-        norm = reps.withColumn("norm", normalize_code(F.col("content")))
-        sh = norm.withColumn(
-            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
-        ).withColumn("tokens", F.split(F.col("norm"), " "))
-        sh = sh.withColumn("n_tokens", F.size("tokens"))
-        return sh.select(
-            "file_id", "norm", "shingles", "tokens", "n_tokens"
+        base = normed.join(
+            norm_reps_df.withColumnRenamed("nrep_id", "file_id").select("file_id"),
+            "file_id",
         )
+        # Explicit repartition: AQE coalesces this small-byte table to 1-2
+        # partitions, which would serialize every downstream per-row stage
+        # (shingle hashing, minhash kernel, winnowing) onto 1-2 cores —
+        # measured as 3 × ~50s stages at 8k files.  Heavy per-row work needs
+        # partitions ∝ cores regardless of byte size.
+        base = base.repartition(max(par, 8), "file_id")
+        # verify runs on HASHED shingles (array<long>) — 8B per element in
+        # the pair join instead of 9-char strings; set semantics preserved
+        # via array_distinct (31-bit hash collisions shift Jaccard by <1e-3).
+        # xxhash64 per shingle (the md5 primitive costs ~7µs/call and is
+        # only needed where DuckDB parity matters).
+        sh = base.withColumn(
+            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
+        )
+        from ..functions.hashing import fast_shingle_hashes  # local to avoid cycle
+
+        sh = sh.withColumn(
+            "sh_hashes", F.array_distinct(fast_shingle_hashes(F.col("shingles")))
+        )
+        sh = sh.withColumn("n_tokens", F.size(F.split(F.col("norm"), " "))).withColumn(
+            "n_shingles", F.size("sh_hashes")
+        )
+        return sh.select("file_id", "norm", "sh_hashes", "n_tokens", "n_shingles")
 
     prepared = run("02_prepared", _prepared)
 
-    def _lsh_pairs() -> DataFrame:
-        with_sig = add_minhash(prepared, "shingles", cfg, use_kernel=use_kernel)
-        return candidate_pairs(with_sig, "file_id", "minhash", cfg, cap_buckets=True)
+    def _signatures() -> DataFrame:
+        # persisted: candidate_pairs self-joins the band table, so an
+        # unpersisted signature column would run the minhash kernel TWICE
+        # (once per join side) — measured as the dominant stage at 30k files
+        if use_kernel:
+            from ..functions.kernels import apply_minhash
 
-    lsh_pairs = run("03_lsh_pairs", _lsh_pairs)
+            sig = apply_minhash(F.col("sh_hashes"), cfg)
+        else:
+            from ..functions.hashing import minhash_expr
 
-    def _short_pairs() -> DataFrame:
-        short = prepared.filter(F.col("n_tokens") <= cfg.short_doc_max_tokens)
-        with_sim = add_simhash(short, "tokens", cfg, use_kernel=use_kernel)
-        return simhash_candidate_pairs(with_sim, "file_id", "simhash", cfg).select(
-            "id_a", "id_b"
+            sig = minhash_expr(F.col("sh_hashes"), cfg)
+        return prepared.withColumn("minhash", sig).select(
+            "file_id", "n_shingles", "minhash"
         )
 
-    short_pairs = run("04_short_pairs", _short_pairs)
+    signatures = run("03a_signatures", _signatures)
+
+    lsh_pairs = run(
+        "03_lsh_pairs",
+        lambda: candidate_pairs(
+            signatures, "file_id", "minhash", cfg, cap_buckets=True,
+            size_col="n_shingles",
+        ),
+        persist=False,
+    )
+
+    def _short_sim() -> DataFrame:
+        short = prepared.filter(F.col("n_tokens") <= cfg.short_doc_max_tokens)
+        short = short.withColumn("tokens", F.split(F.col("norm"), " "))
+        return add_simhash(short, "tokens", cfg, use_kernel=use_kernel).select(
+            "file_id", "simhash"
+        )
+
+    short_sim = run("04a_simhash", _short_sim)
+
+    short_pairs = run(
+        "04_short_pairs",
+        lambda: simhash_candidate_pairs(short_sim, "file_id", "simhash", cfg).select(
+            "id_a", "id_b"
+        ),
+        persist=False,
+    )
 
     def _edges() -> DataFrame:
-        lsh_verified = jaccard_verify(lsh_pairs, prepared, "file_id", "shingles", cfg)
+        lsh_verified = jaccard_verify(lsh_pairs, prepared, "file_id", "sh_hashes", cfg)
         lsh_verified = lsh_verified.withColumn("method", F.lit("minhash_lsh"))
-        short_cfg = CascadeConfig(
-            jaccard_threshold=SHORT_JACCARD,
-            num_perm=cfg.num_perm, lsh_bands=cfg.lsh_bands, lsh_rows=cfg.lsh_rows,
-        )
+        short_cfg = CascadeConfig(jaccard_threshold=SHORT_JACCARD)
         short_verified = jaccard_verify(
-            short_pairs, prepared, "file_id", "shingles", short_cfg
+            short_pairs, prepared, "file_id", "sh_hashes", short_cfg
         ).withColumn("method", F.lit("simhash"))
         return (
             lsh_verified.unionByName(short_verified)
@@ -125,16 +204,21 @@ def dedup_pipeline(
     def _clusters() -> DataFrame:
         return connected_components(edges, "id_a", "id_b")
 
-    rep_clusters = run("06_clusters", _clusters)
+    rep_clusters = run("06_clusters", _clusters, persist=False)
 
     def _assign() -> DataFrame:
-        # rep cluster → every member of the exact-dup group; files whose rep
-        # is unclustered fall back to rep_id (exact-dup groups still merge),
-        # then to own file_id.  Content column rides along untouched —
-        # the sha256 invariant is testable on the output.
-        m = mapping.join(
-            rep_clusters.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+        # cluster(file) resolves through both dedup levels:
+        # file → sha-rep (mapping) → norm-rep (norm_mapping) → cluster.
+        # Fallbacks: norm-rep id (normalization-identical groups still
+        # merge), then sha-rep id, then own file_id.  Content rides along
+        # untouched — the sha256 invariant is testable on the output.
+        nm = norm_mapping.join(
+            rep_clusters.withColumnRenamed("id", "nrep_id"), "nrep_id", "left"
         ).select(
+            "rep_id",
+            F.coalesce(F.col("cluster_id"), F.col("nrep_id")).alias("cluster_id"),
+        )
+        m = mapping.join(nm, "rep_id", "left").select(
             F.col("id").alias("file_id"),
             F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),
         )
@@ -142,13 +226,20 @@ def dedup_pipeline(
             "cluster_id", F.coalesce(F.col("cluster_id"), F.col("file_id"))
         )
 
-    assignments = run("07_assignments", _assign)
+    assignments = run("07_assignments", _assign, persist=False)
 
     substring_pairs = None
     if with_substring_pass:
 
+        # persisted for the same self-join reason as the signatures
+        fps = run(
+            "08a_fingerprints",
+            lambda: add_fingerprints(
+                prepared.select("file_id", "norm"), "norm", cfg, fast_hash=True
+            ).select("file_id", "fingerprints"),
+        )
+
         def _substr() -> DataFrame:
-            fps = add_fingerprints(prepared, "norm", cfg)
             cand = fingerprint_candidate_pairs(
                 fps, "file_id", "fingerprints", cfg, template_filter=True
             )
@@ -157,6 +248,6 @@ def dedup_pipeline(
             fresh = cand.join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
             return verify_long_substring(fresh, prepared, "file_id", "norm", cfg)
 
-        substring_pairs = run("08_substring_pairs", _substr)
+        substring_pairs = run("08_substring_pairs", _substr, persist=False)
 
     return PipelineResult(assignments, edges, substring_pairs)

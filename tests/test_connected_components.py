@@ -3,9 +3,10 @@ import pytest
 from project_cascade_spark.operators.connected_components import connected_components
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, driver_threshold=0):
+    # driver_threshold=0 forces the distributed large-star/small-star path
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, driver_threshold=driver_threshold).collect()
     return {r["id"]: r["cluster_id"] for r in rows}
 
 
@@ -35,3 +36,14 @@ def test_long_path_converges(spark):
 def test_duplicate_and_reversed_edges(spark):
     got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_driver_union_find_matches_distributed(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    dist = _cc(spark, edges, driver_threshold=0)
+    local = _cc(spark, edges, driver_threshold=10**6)
+    assert dist == local
