@@ -88,20 +88,37 @@ def srp_lsh_topk(
     vec_col: str,
     dim: int,
     k: int,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: bucket by SRP signature, exact cosine
-    within bucket.  Recall grows with fewer planes (bigger buckets); the
-    multi-probe refinement (flip one bit) is left as bands=2 of planes.
+    """Approximate all-pairs top-k: L independent SRP hash tables, candidate
+    union across tables, exact cosine within bucket (classic multi-table
+    LSH).  For neighbors at angle θ, per-table collision = (1-θ/π)^p, so
+    recall = 1-(1-(1-θ/π)^p)^L — p trades candidate volume against
+    per-table recall, L buys recall back at linear cost.
     """
-    b = add_srp_buckets(corpus, vec_col, dim, n_planes, seed)
-    left = b.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "srp_bucket")
-    right = b.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "srp_bucket")
-    scored = (
-        left.join(right, "srp_bucket")
+    tables = []
+    for t in range(n_tables):
+        bt = add_srp_buckets(
+            corpus, vec_col, dim, n_planes, seed + 1009 * t, out_col="srp_bucket"
+        ).withColumn("srp_table", F.lit(t))
+        tables.append(bt)
+    b = tables[0]
+    for bt in tables[1:]:
+        b = b.unionByName(bt)
+    left = b.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                    "srp_table", "srp_bucket")
+    right = b.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                     "srp_table", "srp_bucket")
+    cand = (
+        left.join(right, ["srp_table", "srp_bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select(
+        "q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (

@@ -161,6 +161,20 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: multi-table SRP-LSH top-k.  Approximate by design —
+    no SQL oracle (the driver records a rows-only check); exactness of the
+    within-bucket scoring is covered by emb_topk's oracle and
+    tests/test_similarity.py's recall bound."""
+    from .operators.similarity import srp_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return srp_lsh_topk(
+        emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
+        n_planes=4, n_tables=8,
+    )
+
+
 # --------------------------- TPC-H-ish operators ---------------------------
 
 def match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +318,7 @@ def build_queries() -> dict:
         "cascade_band_filter": cascade_band_filter_docs,
         "emb_topk": emb_topk,
         "emb_near_dup": emb_near_dup,
+        "emb_ann_lsh": emb_ann_lsh,
         "match_stats": match_stats,
         "cluster_sizes_window": cluster_sizes_window,
         "distinct_on": distinct_on,

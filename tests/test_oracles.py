@@ -48,9 +48,13 @@ def test_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+# approximate-by-design queries: rows-only check (documented in queries.py)
+NO_ORACLE = {"emb_ann_lsh"}
+
+
 def test_every_query_has_oracle():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    assert set(os_) == set(qs), "every query needs an oracle twin"
+    assert set(os_) == set(qs) - NO_ORACLE, "every exact query needs an oracle twin"
 
 
 def test_entry_smoke(spark):
