@@ -11,6 +11,9 @@ sync (the driver's correctness gate compares value hashes).
 
 from __future__ import annotations
 
+import html
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -103,3 +106,50 @@ def char_shingles(col: Column, k: int) -> Column:
 def tokens(col: Column) -> Column:
     """Whitespace tokens of a normalized string (SimHash features)."""
     return F.split(col, " ")
+
+
+def html_unescape_udf():
+    """Vectorized pandas UDF for HTML entity unescape ('&amp;' → '&').
+
+    Reference: .apply(html.unescape) row-wise (data_processing.py:178,241,
+    SURVEY F2).  No Spark builtin exists; html.unescape over a pd.Series
+    keeps it Arrow-batched.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def unescape(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: html.unescape(x) if x is not None else None)
+
+    return unescape
+
+
+def and_amp_variants(df, name_col: str):
+    """Emit variant rows with ' and ' ↔ ' & ' swapped, union'd to the
+    originals and deduped — the reference's variant-row generation
+    (data_processing.py:49-80, SURVEY F4) as explode + distinct."""
+    swapped = F.when(
+        F.col(name_col).contains(" and "),
+        F.regexp_replace(F.col(name_col), " and ", " & "),
+    ).when(
+        F.col(name_col).contains(" & "),
+        F.regexp_replace(F.col(name_col), " & ", " and "),
+    )
+    variants = F.array_distinct(
+        F.array(F.col(name_col), F.coalesce(swapped, F.col(name_col)))
+    )
+    return df.withColumn(name_col, F.explode(variants)).dropDuplicates()
+
+
+def leven_ratio(a: Column, b: Column) -> Column:
+    """0-100 similarity ratio from edit distance:
+    floor(100 * (1 - levenshtein/greatest(len_a, len_b))).
+
+    Reference: fuzzywuzzy fuzz.ratio scoring (data_processing.py:139-149,
+    SURVEY F9) — kept as the short-string fallback metric next to Jaccard.
+    Built-in levenshtein, exact twin in DuckDB (oracle.py).  floor, not
+    round: the engines disagree on half-way rounding.
+    """
+    dist = F.levenshtein(a, b)
+    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
+    return F.floor(F.lit(100) * (F.lit(1) - dist / denom)).cast("long")

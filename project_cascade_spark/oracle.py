@@ -365,6 +365,21 @@ def events_windowed_agg_sql() -> str:
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
 
+def leven_name_pairs_sql(threshold: int) -> str:
+    """F9: Levenshtein-ratio scoring over same-nation customer name pairs
+    (the reference scores src vs registry names, data_processing.py:139-149).
+    floor() to dodge cross-engine half-way rounding."""
+    return f"""WITH pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        floor(100 * (1 - levenshtein(a.c_name, b.c_name)::DOUBLE
+              / greatest(length(a.c_name), length(b.c_name), 1)))::BIGINT
+            AS leven_ratio
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+SELECT id_a, id_b, leven_ratio FROM pairs
+WHERE leven_ratio >= {threshold} ORDER BY id_a, id_b"""
+
+
 def events_json_extract_sql() -> str:
     """S4/F15: JSON field extraction at scan (db_calls.py:227-231)."""
     return """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k

@@ -297,6 +297,25 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEVEN_THRESHOLD = 80
+
+
+def leven_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: Levenshtein-ratio scoring (short-string fallback metric)."""
+    from .functions.text import leven_ratio
+
+    c = load_testdata(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a"),
+                 F.col("c_nationkey").alias("nk"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b"),
+                 F.col("c_nationkey").alias("nk"))
+    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", leven_ratio(F.col("n_a"), F.col("n_b")).alias("leven_ratio")
+    )
+    return scored.filter(F.col("leven_ratio") >= LEVEN_THRESHOLD)
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_testdata(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -329,6 +348,7 @@ def build_queries() -> dict:
         "singleton_renumber": singleton_renumber,
         "best_config_argmax": best_config_argmax,
         "topk_orders": topk_orders,
+        "leven_name_pairs": leven_name_pairs,
         "events_windowed_agg": events_windowed_agg,
         "events_json_extract": events_json_extract,
     }
@@ -361,6 +381,7 @@ def build_oracles() -> dict:
         "singleton_renumber": o.singleton_renumber_sql(),
         "best_config_argmax": o.best_config_argmax_sql(),
         "topk_orders": o.topk_orders_sql(),
+        "leven_name_pairs": o.leven_name_pairs_sql(LEVEN_THRESHOLD),
         "events_windowed_agg": o.events_windowed_agg_sql(),
         "events_json_extract": o.events_json_extract_sql(),
     }
