@@ -26,7 +26,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 30k files: large enough that fixed per-stage overhead (~10s) is small
+# against the parallel fraction, small enough that 8 concurrent workers
+# stay out of memory-pressure territory (at 40k the per-stage scaling
+# ratios measurably degrade at local[8]: 3.6 -> 3.2-3.5).
 PIPELINE_FILES = int(os.environ.get("CASCADE_BENCH_FILES", "30000"))
+# Walls fluctuate with host interference (±15% on local[8], ±5% on
+# local[2]; single stages occasionally double).  Each leg is measured REPS
+# times and the best wall kept: interference is one-sided (only ever adds
+# time), so min() measures the job rather than the neighbors.
+BIG_REPS = int(os.environ.get("CASCADE_BENCH_BIG_REPS", "2"))
+SMALL_REPS = int(os.environ.get("CASCADE_BENCH_SMALL_REPS", "2"))
+# The sandbox CPU throttles under sustained load and recovers when idle
+# (measured: a fixed single-thread numpy probe runs 1.18s on a rested box,
+# 1.42s right after a long multi-core burst).  Each timed leg is preceded
+# by a cool-down so every leg starts from comparable thermal/credit state
+# — otherwise the leg that happens to run after the 32-core headline
+# queries is systematically penalized.
+COOLDOWN_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_S", "60"))
 # N→4N proxy pair.  NOT 8→32: a multiprocessing microbenchmark (see
 # BENCH/BASELINE.md) shows this sandbox delivers only ~6.5 effective cores
 # (32 procs run at 0.2 efficiency; 8 procs at 0.82), so 8→32 scaling is
@@ -77,9 +94,12 @@ def run_pipeline(master_n: int, input_path: str) -> tuple[int, float]:
     from project_cascade_spark.session import build_session
     from project_cascade_spark.sources.tables import load_code_files
 
+    # shuffle partitions scale with cores (as they would across cluster
+    # sizes): 4x cores keeps join/agg stages load-balanced — with exactly
+    # one partition per core a single straggler extends the stage wall
     spark = build_session(
         f"cascade-bench-n{master_n}", master=f"local[{master_n}]",
-        shuffle_partitions=max(master_n, 8),
+        shuffle_partitions=max(4 * master_n, 16),
     )
     df = load_code_files(spark, input_path)
     t0 = time.time()
@@ -130,9 +150,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # -- part 2: pipeline at N and 4N on identical input, fresh process each --
-    n_files, wall_big = run_pipeline_subprocess(BIG_N, synth_path)
-    _, wall_small = run_pipeline_subprocess(SMALL_N, synth_path)
+    # -- part 2: pipeline at N and 4N on identical input, fresh process each.
+    # Legs are INTERLEAVED (big, small, big, small) so any residual slow
+    # drift in host speed hits both levels symmetrically instead of biasing
+    # whichever leg runs last.
+    legs: list[tuple[int, int]] = []
+    for i in range(max(BIG_REPS, SMALL_REPS)):
+        if i < BIG_REPS:
+            legs.append((BIG_N, i))
+        if i < SMALL_REPS:
+            legs.append((SMALL_N, i))
+    walls: dict[int, list[float]] = {BIG_N: [], SMALL_N: []}
+    n_files = 0
+    for n, _ in legs:
+        time.sleep(COOLDOWN_S)
+        n_files, w = run_pipeline_subprocess(n, synth_path)
+        walls[n].append(w)
+    big_walls = [(n_files, w) for w in walls[BIG_N]]
+    small_walls = [(n_files, w) for w in walls[SMALL_N]]
+    wall_big = min(walls[BIG_N])
+    wall_small = min(walls[SMALL_N])
     tp_small = n_files / wall_small
     tp_big = n_files / wall_big
     eff = tp_big / ((BIG_N / SMALL_N) * tp_small)
@@ -151,8 +188,11 @@ def main() -> None:
             "files_per_sec_n%d" % SMALL_N: round(tp_small, 1),
             "files_per_sec_n%d" % BIG_N: round(tp_big, 1),
             "scaling_efficiency_%d_to_%d" % (SMALL_N, BIG_N): round(eff, 3),
+            "wall_s_n%d_all_reps" % BIG_N: [round(w, 2) for _, w in big_walls],
+            "wall_s_n%d_all_reps" % SMALL_N: [round(w, 2) for _, w in small_walls],
             "hardware_note": "sandbox delivers ~6.5 effective cores; "
-                             "see BENCH/BASELINE.md for the microbenchmark",
+                             "each leg is best-of-reps (host interference "
+                             "is one-sided); see BENCH/BASELINE.md",
         },
     }))
 

@@ -108,7 +108,10 @@ def simhash_expr(tok_hashes: Column, cfg: CascadeConfig) -> Column:
     out = bits[0]
     for bcol in bits[1:]:
         out = out + bcol
-    return out
+    # null input → null (not 0: the CASE WHEN NULL>=0 ELSE-branch would
+    # otherwise emit 0 and silently disagree with the Arrow kernel twin —
+    # parity on degenerate inputs is covered by test_kernels_parity)
+    return F.when(tok_hashes.isNull(), F.lit(None).cast("long")).otherwise(out)
 
 
 def simhash_chunks(sim: Column, cfg: CascadeConfig) -> Column:

@@ -30,17 +30,22 @@ def make_minhash_udf(cfg: CascadeConfig):
     to the expression form and to the DuckDB oracle.
     """
     a, b = cfg.perms  # int64 arrays, shape (num_perm,)
-    # Sub-batch so the (num_perm × hashes) work matrix stays ~16 MB: a full
-    # Arrow batch can hold ~5M hash elements, and materializing
-    # num_perm × 5M × 8B (≈5 GB) per Python worker × 32 workers melts the
-    # box (memory-bandwidth saturation measured as a 6x slowdown).
+    # Two-level blocking keeps the working set CACHE-resident, not just
+    # RAM-resident:
+    # - sub-batch ~16k hash elements per flush (flat fits L1/L2);
+    # - the permutation loop runs in blocks of PERM_BLOCK rows, so the
+    #   (PERM_BLOCK × sub_elems) work matrix is ~1.5 MB — private-L2 scale.
+    # The old single-pass (num_perm × sub_elems) matrix was ~16 MB per
+    # worker; 8 workers × 16 MB thrashes the shared L3 and was measured as
+    # the minhash stage scaling only 1.8x from local[2] to local[8] while
+    # the pure-JVM stages scaled 4.0x.
+    PERM_BLOCK = 16
     sub_elems = max(1, 2_000_000 // max(int(a.shape[0]), 1))
 
     @pandas_udf("array<bigint>")
     def minhash(hashes: pd.Series) -> pd.Series:
         out = [None] * len(hashes)
         nperm = a.shape[0]
-        aT, bT = a[:, None], b[:, None]
         group_rows: list[int] = []
         group_arrs: list[np.ndarray] = []
         group_total = 0
@@ -50,16 +55,20 @@ def make_minhash_udf(cfg: CascadeConfig):
             if not group_rows:
                 return
             flat = np.concatenate(group_arrs)
-            y = aT * flat[None, :]
-            y += bT
-            # Mersenne-prime reduction: y mod (2^31-1) via two shift-folds
-            # — identical result to %, ~3x faster than integer division
-            y = (y & MERSENNE31) + (y >> 31)
-            y = (y & MERSENNE31) + (y >> 31)
-            y[y >= MERSENNE31] -= MERSENNE31
             lens = np.fromiter((x.shape[0] for x in group_arrs), dtype=np.int64)
             offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            sigs = np.minimum.reduceat(y, offsets, axis=1)  # (nperm, n_rows)
+            sigs = np.empty((nperm, len(group_rows)), dtype=np.int64)
+            for p0 in range(0, nperm, PERM_BLOCK):
+                p1 = min(p0 + PERM_BLOCK, nperm)
+                y = a[p0:p1, None] * flat[None, :]
+                y += b[p0:p1, None]
+                # Mersenne-prime reduction: y mod (2^31-1) via two
+                # shift-folds — identical result to %, ~3x faster than
+                # integer division
+                y = (y & MERSENNE31) + (y >> 31)
+                y = (y & MERSENNE31) + (y >> 31)
+                y[y >= MERSENNE31] -= MERSENNE31
+                sigs[p0:p1] = np.minimum.reduceat(y, offsets, axis=1)
             for j, i in enumerate(group_rows):
                 out[i] = sigs[:, j]
             group_rows, group_arrs, group_total = [], [], 0
@@ -87,6 +96,10 @@ def make_simhash_udf(cfg: CascadeConfig):
     """
     nbits = cfg.simhash_bits
     shifts = np.arange(nbits, dtype=np.int64)
+    # bit-identical twin of simhash_expr (hashing.py): empty array → every
+    # vote sum is 0 ≥ 0 → all bits set; null array → null.  Parity enforced
+    # by tests/test_kernels_parity.py including the empty/null rows.
+    empty_val = (1 << nbits) - 1
 
     @pandas_udf("bigint")
     def simhash(hashes: pd.Series) -> pd.Series:
@@ -100,7 +113,9 @@ def make_simhash_udf(cfg: CascadeConfig):
             [np.asarray(xs, dtype=np.int64) for xs in hashes if xs is not None and len(xs)]
             or [np.empty(0, dtype=np.int64)]
         )
-        out = np.zeros(len(hashes), dtype=np.int64)
+        out: list[int | None] = [
+            None if xs is None else empty_val for xs in hashes
+        ]
         if flat.shape[0]:
             bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.int64)
             signed = 2 * bits - 1                               # (total, nbits)
@@ -108,8 +123,9 @@ def make_simhash_udf(cfg: CascadeConfig):
             offsets = np.concatenate(([0], np.cumsum(lens[nz])))[:-1]
             votes = np.add.reduceat(signed, offsets, axis=0)    # (n_nonzero, nbits)
             sims = ((votes >= 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
-            out[np.flatnonzero(nz)] = sims
-        return pd.Series(out)
+            for j, i in enumerate(np.flatnonzero(nz)):
+                out[i] = int(sims[j])
+        return pd.Series(out, dtype="object")
 
     return simhash
 

@@ -17,17 +17,28 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Ordered longest-first, as the reference does for org suffixes
-# (reference: org_suffixes.py applies a dict of regex replacements;
-# data_processing.py:193,302). A trimmed, representative subset.
+# Ordered longest-first, as the reference does for org suffixes.  The full
+# reference dictionary (org_suffixes.py:1-30 — its space-padded variants
+# collapse to one entry each under \b word-boundary matching) plus the
+# inc/corp/co extensions.  'l.l.p' needs its dots escaped in the regex.
 ORG_SUFFIXES = [
     ("limited liability partnership", "llp"),
     ("public limited company", "plc"),
+    ("nhs foundation trust", "nft"),
     ("incorporated", "inc"),
     ("corporation", "corp"),
+    ("nhs trust", "nft"),
     ("limited", "ltd"),
     ("company", "co"),
+    ("nhs ft", "nft"),
+    (r"l\.l\.p", "llp"),
+    ("l l p", "llp"),
+    ("n f t", "nft"),
 ]
+
+# The short forms shorten_name strips (= the value set of ORG_SUFFIXES,
+# reference org_suffixes_dict.values()).
+ORG_SHORT_FORMS = ("llp", "plc", "nft", "inc", "corp", "ltd", "co")
 
 
 def normalize_ws(col: Column) -> Column:
@@ -58,6 +69,24 @@ def std_org_suffixes(col: Column) -> Column:
     for long, short in ORG_SUFFIXES:
         out = F.regexp_replace(out, r"\b" + long + r"\b", short)
     return out
+
+
+def shorten_name(col: Column) -> Column:
+    """Strip standardized org-suffix tokens for Levenshtein scoring (F8).
+
+    Reference shortenName (data_processing.py:121-137; golden values from
+    the reference's tests/test_data_processing.py:27-33):
+      'ditta abbott vascular knollravizza ltd' -> 'ditta abbott vascular knollravizza'
+      'test-org plc' -> 'test org'
+      'test llp org' -> 'test org'
+    '-' becomes a space first, then any whole token in ORG_SHORT_FORMS is
+    removed, whitespace re-collapsed.
+    """
+    dehyph = F.regexp_replace(col, "-", " ")
+    stripped = F.regexp_replace(
+        dehyph, r"\b(" + "|".join(ORG_SHORT_FORMS) + r")\b", ""
+    )
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
 def strip_digits(col: Column) -> Column:

@@ -18,6 +18,26 @@ import sys
 import time
 
 
+def input_fingerprint(input_arg: str, preset: str, cfg) -> str:
+    """Identity of (input data, config) for resume invalidation (reference
+    ClearFiles semantics, setup.py:57-98).  For a local path the digest
+    covers file names/sizes/mtimes, so editing the input in place also
+    invalidates; synth inputs are deterministic so the spec string is
+    enough."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256(f"{input_arg}|{preset}|{cfg!r}".encode())
+    if os.path.isdir(input_arg):
+        for name in sorted(os.listdir(input_arg)):
+            st = os.stat(os.path.join(input_arg, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.isfile(input_arg):
+        st = os.stat(input_arg)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="cascade near-dup pipeline")
     p.add_argument("--input", required=True,
@@ -49,7 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = load_code_files(spark, args.input)
 
-    store = StageStore(spark, args.workdir) if args.workdir else None
+    store = None
+    if args.workdir:
+        store = StageStore(
+            spark, args.workdir,
+            fingerprint=input_fingerprint(args.input, args.preset, cfg),
+        )
     res = dedup_pipeline(
         df, cfg, store=store, with_substring_pass=not args.no_substring_pass
     )
@@ -68,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             "wall_s": round(wall, 2),
             "files_per_sec": round(n_files / wall, 1),
             "resumable": bool(args.workdir),
+            "computed_stages": store.computed if store else None,
         }))
     spark.stop()
     return 0

@@ -74,8 +74,10 @@ def renumber_singletons(
 
     dense_rank over the key gives the group number; a global max is a cheap
     scalar agg.  NOTE: the unpartitioned dense_rank window puts singleton
-    rows through one reducer — fine because only singletons flow through it
-    (bounded after dedup); at extreme scale swap for hash(key_col).
+    rows through one reducer — kept ONLY for oracle parity with the
+    reference's dense ngroup() numbering (q:singleton_renumber).  In a real
+    corpus singletons are the majority, so any pipeline path must use
+    renumber_singletons_scalable below instead.
     """
     sized = add_cluster_sizes(df, cluster_col)
     singles = sized.filter(F.col("cluster_size") == 1).drop("cluster_size")
@@ -84,5 +86,35 @@ def renumber_singletons(
     w = Window.orderBy(key_col)
     renum = singles.withColumn(
         cluster_col, F.dense_rank().over(w) + F.lit(max_clust)
+    )
+    return grouped.unionByName(renum)
+
+
+def renumber_singletons_scalable(
+    df: DataFrame, key_col: str, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Scale path for renumber_singletons: same contract (size-1 clusters
+    re-grouped by exact key, fresh ids strictly above the current max, equal
+    keys share an id), but NO unpartitioned window anywhere.
+
+    Ids come from monotonically_increasing_id() over the DISTINCT keys
+    (partition-offset encoding: distinct, parallel, not dense) offset past
+    max(cluster_id).  Rows then join their key's new id back — a shuffle on
+    the key, same as any groupBy.
+    """
+    sized = add_cluster_sizes(df, cluster_col)
+    singles = sized.filter(F.col("cluster_size") == 1).drop("cluster_size")
+    grouped = sized.filter(F.col("cluster_size") > 1).drop("cluster_size")
+    max_clust = df.agg(F.max(cluster_col)).first()[0] or 0
+    key_ids = (
+        singles.select(key_col)
+        .distinct()
+        .withColumn("_new_id", F.monotonically_increasing_id() + F.lit(max_clust + 1))
+    )
+    renum = (
+        singles.drop(cluster_col)
+        .join(key_ids, key_col)
+        .withColumnRenamed("_new_id", cluster_col)
+        .select(*singles.columns)
     )
     return grouped.unionByName(renum)

@@ -108,10 +108,15 @@ def connected_components(
         .distinct()
     )
     if driver_threshold:
-        n_edges = e.count()
-        if n_edges <= driver_threshold:
+        # limit-probe: collect at most threshold+1 rows in ONE action — no
+        # full count() pass, and when the set is small the probe rows ARE
+        # the edges (no second collect).  Only an over-threshold set pays
+        # for recomputing e (rare, and then the distributed path dominates
+        # anyway).
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
             return _local_union_find(
-                [(r["u"], r["v"]) for r in e.collect()], edges.sparkSession
+                [(r["u"], r["v"]) for r in probe], edges.sparkSession
             )
     prev = _edge_checksum(e)
     for _ in range(max_iter):

@@ -1,12 +1,14 @@
 """Deduplication operators beyond the LSH core: exact, n-gram Jaccard,
 embedding near-dup.
 
-- exact_dedup: sha256 groupBy.  Runs FIRST in the pipeline — identical
-  content collapses to one representative before MinHash/LSH, which is both
-  the dominant cost saving on real corpora (exact dups are the majority)
-  and the primary LSH skew guard (giant identical-content bands vanish).
-  Reference analogue: drop_duplicates after union
-  (Regional_Run_Files/data_matching.py:125,197, SURVEY A11).
+- exact_dedup: hash groupBy → (representatives, mapping).  The standalone
+  exact-dedup operator (any hash column: sha256, md5(norm), payload sha).
+  The dedup pipeline applies the same move inline on md5(norm) (one groupBy
+  subsumes both the byte-identical and the normalized-identical level) so
+  identical content collapses before MinHash/LSH — the dominant cost saving
+  on real corpora and the primary LSH skew guard.  Reference analogue:
+  drop_duplicates after union (Regional_Run_Files/data_matching.py:125,197,
+  SURVEY A11).
 - ngram_jaccard_pairs: exact all-pairs Jaccard via an inverted index
   (explode shingle → join → count) — the non-approximate baseline used to
   validate MinHash recall, and a correctness-gate query in its own right.

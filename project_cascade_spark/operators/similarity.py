@@ -91,34 +91,59 @@ def srp_lsh_topk(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Approximate all-pairs top-k: L independent SRP hash tables, candidate
     union across tables, exact cosine within bucket (classic multi-table
     LSH).  For neighbors at angle θ, per-table collision = (1-θ/π)^p, so
     recall = 1-(1-(1-θ/π)^p)^L — p trades candidate volume against
     per-table recall, L buys recall back at linear cost.
+
+    Scale shape (the 100 TB concerns):
+    - buckets are CAPPED at max_bucket_size per (table, bucket) — a dense
+      embedding cluster would otherwise go quadratic in one hot bucket
+      (same guard as minhash_lsh.candidate_pairs); rows capped out of a
+      bucket in one table still reach it through the other L-1 tables;
+    - the bucket self-join and the cross-table dropDuplicates carry IDS
+      ONLY — full vectors are re-joined once per side afterwards, so no
+      shuffle ever moves a vector more than once.
     """
+    # bucket table carries (id, table, bucket) — no vectors
     tables = []
     for t in range(n_tables):
-        bt = add_srp_buckets(
-            corpus, vec_col, dim, n_planes, seed + 1009 * t, out_col="srp_bucket"
-        ).withColumn("srp_table", F.lit(t))
+        bt = (
+            add_srp_buckets(
+                corpus, vec_col, dim, n_planes, seed + 1009 * t, out_col="srp_bucket"
+            )
+            .withColumn("srp_table", F.lit(t))
+            .select(F.col(id_col).alias("_id"), "srp_table", "srp_bucket")
+        )
         tables.append(bt)
     b = tables[0]
     for bt in tables[1:]:
         b = b.unionByName(bt)
-    left = b.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                    "srp_table", "srp_bucket")
-    right = b.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-                     "srp_table", "srp_bucket")
+    if max_bucket_size:
+        w_cap = Window.partitionBy("srp_table", "srp_bucket").orderBy("_id")
+        b = (
+            b.withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    left = b.select(F.col("_id").alias("q_id"), "srp_table", "srp_bucket")
+    right = b.select(F.col("_id").alias("n_id"), "srp_table", "srp_bucket")
     cand = (
         left.join(right, ["srp_table", "srp_bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cand.select(
-        "q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine")
+    # vectors join in exactly once per side, post-dedup
+    qv = corpus.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        cand.join(qv, "q_id")
+        .join(nv, "n_id")
+        .select("q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (

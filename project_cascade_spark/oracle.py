@@ -380,6 +380,51 @@ SELECT id_a, id_b, leven_ratio FROM pairs
 WHERE leven_ratio >= {threshold} ORDER BY id_a, id_b"""
 
 
+def manual_review_sample_sql(n: int, seed: int) -> str:
+    """O6: deterministic seeded-shuffle review batch — the shuffle key is
+    md5(id:seed), identical in Spark (operators/manual_review.shuffle_key)."""
+    return f"""SELECT c_custkey, c_name,
+    md5(c_custkey::VARCHAR || ':{seed}') AS shuffle_key
+FROM customer ORDER BY shuffle_key LIMIT {n}"""
+
+
+def stamped_matches_sql() -> str:
+    """F12: match-date stamping (data_matching.py:294).  Day-granular so
+    both engines agree when run in the same gate pass."""
+    return """SELECT c_custkey, strftime(current_date, '%Y-%m-%d') AS match_date,
+    ' ' AS match_by FROM customer ORDER BY c_custkey"""
+
+
+def upper_key_matches_sql() -> str:
+    """F13: UPPER-key join round trip (db_calls.py:110-122)."""
+    return """SELECT c.c_custkey, l.lookup_key
+FROM customer c JOIN (
+    SELECT lower(c_name) AS org_string, c_custkey AS lookup_key FROM customer) l
+  ON upper(c.c_name) = upper(l.org_string)
+ORDER BY c_custkey"""
+
+
+def training_export_pairs_sql(threshold: int, match_ratio: int) -> str:
+    """F17: to_json(struct(...)) labelled training pairs
+    (convert_training.py:33-57).  struct_pack field order == Spark struct
+    order; both serializers emit compact JSON with identical escaping."""
+    return f"""WITH pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        a.c_name AS n_a, b.c_name AS n_b,
+        floor(100 * (1 - levenshtein(a.c_name, b.c_name)::DOUBLE
+              / greatest(length(a.c_name), length(b.c_name), 1)))::BIGINT
+            AS leven_ratio
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+lab AS (SELECT id_a, id_b, n_a, n_b,
+        CASE WHEN leven_ratio >= {match_ratio} THEN 'match' ELSE 'distinct' END AS label
+    FROM pairs WHERE leven_ratio >= {threshold})
+SELECT id_a, id_b,
+    to_json(struct_pack(src_name := n_a, reg_name := n_b, label := label))::VARCHAR
+        AS training_json
+FROM lab ORDER BY id_a, id_b"""
+
+
 def events_json_extract_sql() -> str:
     """S4/F15: JSON field extraction at scan (db_calls.py:227-231)."""
     return """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k

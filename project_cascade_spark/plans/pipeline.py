@@ -4,10 +4,13 @@ The Spark re-expression of the reference's run_main flow
 (/root/reference/runfile.py:171-254 → SURVEY §3.1/§3.2), over
 code_files(repo, path, commit, lang, content):
 
-  1. identity+invariant   file_id = xxhash64(keys); content_sha = sha2(content)
-  2. exact dedup          sha groupBy → representatives + mapping
-                          (skew guard AND the dominant real-corpus saving)
-  3. normalize+shingle    comment/whitespace-insensitive char shingles
+  1. identity+invariant   file_id = xxhash64(keys); content_sha = sha2(content);
+                          norm + md5(norm) in the same per-row-parallel stage
+  2. exact dedup          ONE groupBy on md5(norm) — subsumes the sha256
+                          level (identical content ⇒ identical norm); skew
+                          guard AND the dominant real-corpus saving; only
+                          (file_id, hash) columns ever shuffle
+  3. shingle              comment/whitespace-insensitive char shingles
   4. MinHash/LSH          candidate pairs on representatives
   5. SimHash              Hamming-ball candidates for short files
   6. verify               Jaccard >= τ (LSH), Hamming + relaxed Jaccard (short)
@@ -30,7 +33,7 @@ from pyspark.sql import functions as F
 from ..config import CascadeConfig
 from ..functions.text import char_shingles, normalize_code
 from ..operators.connected_components import connected_components
-from ..operators.dedup import add_content_hash, exact_dedup
+from ..operators.dedup import add_content_hash
 from ..operators.minhash_lsh import add_minhash, candidate_pairs
 from ..operators.simhash import add_simhash, simhash_candidate_pairs
 from ..operators.suffix import (
@@ -58,82 +61,108 @@ def dedup_pipeline(
     store: StageStore | None = None,
     with_substring_pass: bool = True,
     use_kernel: bool = True,
+    stage_times: dict | None = None,
 ) -> PipelineResult:
     # With a store, every stage is durable parquet (resume semantics).
     # Without one, only MULTI-CONSUMER stages are localCheckpoint'ed (so the
     # UDF stages compute exactly once); single-consumer stages stay lazy and
     # fuse into their consumer — fewer actions, less fixed overhead.
     if store:
-        def run(stage, fn, persist=True):  # noqa: ARG001
+        def run_(stage, fn, persist=True):  # noqa: ARG001
             return store.run(stage, fn)
     else:
-        def run(stage, fn, persist=True):
+        def run_(stage, fn, persist=True):
             return fn().localCheckpoint(eager=True) if persist else fn()
+
+    if stage_times is None:
+        run = run_
+    else:
+        # profiling wrapper: wall per eager stage (lazy stages record ~0 and
+        # surface inside their consumer's wall)
+        import time as _time
+
+        def run(stage, fn, persist=True):
+            t0 = _time.time()
+            out = run_(stage, fn, persist)
+            stage_times[stage] = stage_times.get(stage, 0.0) + _time.time() - t0
+            return out
 
     # spread the input across cores before any per-row work: a single
     # parquet file (or a pandas-sourced frame) arrives as 1 partition and
-    # would serialize sha256 + normalization
+    # would serialize sha256 + normalization.  Heavy per-row stages get
+    # 4x cores (heavy_par): with partitions == cores one straggler extends
+    # the whole stage — profiled at 30k files as flat 1.2-1.8x stage ratios
+    # between local[2] and local[8]; 4x granularity restores load balance.
+    #
+    # norm + md5(norm) are computed HERE, in the one stage that is already
+    # per-row-parallel, rather than in a post-groupBy stage: the old
+    # normalize-after-exact-dedup layout shuffled ~full content strings and
+    # ran the regexes in a flat ~4s stage that cost the same at local[2]
+    # and local[8] (profiled); every dedup groupBy downstream now shuffles
+    # only (file_id, hash) columns.
     par = code_files.sparkSession.sparkContext.defaultParallelism
+    heavy_par = max(4 * par, 16)
+    # The working set drops `content` right after hashing: every downstream
+    # stage needs only (file_id, content_sha, norm, _nmd5), which halves the
+    # checkpoint/shuffle bytes of the hottest table; the final assignment
+    # re-reads content from the source scan (parallel, lazy) instead of
+    # dragging it through the whole pipeline.
+    #
+    # The input is repartitioned only when the scan itself is UNDER-parallel
+    # (fewer splits than cores): a well-sharded source already spreads the
+    # per-row hashing, and skipping the repartition avoids shuffling the
+    # full content bytes once.
+    src = code_files
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(heavy_par)
     files = run(
         "00_input",
-        lambda: add_content_hash(
-            code_files.repartition(max(par, 8)), "content"
-        ),
+        lambda: add_content_hash(src, "content")
+        .withColumn("norm", normalize_code(F.col("content")))
+        .withColumn("_nmd5", F.md5("norm"))
+        .select("file_id", "content_sha", "norm", "_nmd5"),
     )
 
-    # level-1 exact dedup: byte-identical content (sha256)
-    reps, mapping = exact_dedup(files, "file_id", "content_sha")
-    reps = run("01_reps", lambda: reps, persist=False)
-    mapping = run("01_mapping", lambda: mapping, persist=False)
-
-    # level-2 exact dedup: identical AFTER normalization (the reference's
-    # clean-then-drop_duplicates move, data_matching.py:197) — whitespace/
-    # comment variants collapse here and never reach LSH
-    def _normed() -> DataFrame:
-        return reps.withColumn("norm", normalize_code(F.col("content"))).select(
-            "file_id", "norm"
-        )
-
-    # persisted: three consumers (norm_reps_df, norm_mapping, prepared) —
-    # lazy would run the normalization regexes three times
-    normed = run("01b_normed", _normed)
+    # Exact dedup, both levels in ONE tiny groupBy: identical content has
+    # identical normalization, so grouping by md5(norm) subsumes the sha256
+    # level (the reference's clean-then-drop_duplicates move,
+    # data_matching.py:197).  The content_sha column still rides on every
+    # row — the per-row invariant stays testable — and the group rep is the
+    # global min file_id, exactly what the old two-level chain resolved to.
+    # This is also the LSH skew guard: boilerplate dup groups collapse to
+    # one representative before any band is built.
     norm_reps_df = run(
-        "01c_norm_reps",
-        lambda: normed.groupBy(F.md5("norm").alias("_nmd5")).agg(
-            F.min("file_id").alias("nrep_id")
-        ),
-    )
-    norm_mapping = run(
-        "01c_norm_mapping",
-        lambda: normed.select("file_id", F.md5("norm").alias("_nmd5"))
-        .join(norm_reps_df, "_nmd5")
-        .select(F.col("file_id").alias("rep_id"), "nrep_id"),
-        persist=False,
+        "01_norm_reps",
+        lambda: files.groupBy("_nmd5").agg(F.min("file_id").alias("nrep_id")),
     )
 
     def _prepared() -> DataFrame:
-        base = normed.join(
-            norm_reps_df.withColumnRenamed("nrep_id", "file_id").select("file_id"),
-            "file_id",
+        base = files.select("file_id", "norm").join(
+            norm_reps_df.select(F.col("nrep_id").alias("file_id")), "file_id"
         )
         # Explicit repartition: AQE coalesces this small-byte table to 1-2
         # partitions, which would serialize every downstream per-row stage
         # (shingle hashing, minhash kernel, winnowing) onto 1-2 cores —
         # measured as 3 × ~50s stages at 8k files.  Heavy per-row work needs
-        # partitions ∝ cores regardless of byte size.
-        base = base.repartition(max(par, 8), "file_id")
-        # verify runs on HASHED shingles (array<long>) — 8B per element in
-        # the pair join instead of 9-char strings; set semantics preserved
-        # via array_distinct (31-bit hash collisions shift Jaccard by <1e-3).
+        # partitions ∝ cores regardless of byte size (4x for balance).
+        base = base.repartition(heavy_par, "file_id")
+        # verify runs on HASHED shingles — set semantics preserved via
+        # array_distinct (31-bit hash collisions shift Jaccard by <1e-3).
         # xxhash64 per shingle (the md5 primitive costs ~7µs/call and is
-        # only needed where DuckDB parity matters).
+        # only needed where DuckDB parity matters).  Values live in
+        # [0, 2^31): stored as array<int>, which HALVES the bytes of the
+        # hottest table — the prepared checkpoint and both verify-join
+        # shuffles are shingle-array-dominated (profiled ~1 GB at 30k
+        # files as int64).  The minhash kernel upcasts to int64 on entry,
+        # so signatures are bit-identical.
         sh = base.withColumn(
             "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
         )
         from ..functions.hashing import fast_shingle_hashes  # local to avoid cycle
 
         sh = sh.withColumn(
-            "sh_hashes", F.array_distinct(fast_shingle_hashes(F.col("shingles")))
+            "sh_hashes",
+            F.array_distinct(fast_shingle_hashes(F.col("shingles"))).cast("array<int>"),
         )
         sh = sh.withColumn("n_tokens", F.size(F.split(F.col("norm"), " "))).withColumn(
             "n_shingles", F.size("sh_hashes")
@@ -207,23 +236,25 @@ def dedup_pipeline(
     rep_clusters = run("06_clusters", _clusters, persist=False)
 
     def _assign() -> DataFrame:
-        # cluster(file) resolves through both dedup levels:
-        # file → sha-rep (mapping) → norm-rep (norm_mapping) → cluster.
+        # cluster(file) = file → norm-rep (_nmd5 groupBy) → component.
         # Fallbacks: norm-rep id (normalization-identical groups still
-        # merge), then sha-rep id, then own file_id.  Content rides along
-        # untouched — the sha256 invariant is testable on the output.
-        nm = norm_mapping.join(
-            rep_clusters.withColumnRenamed("id", "nrep_id"), "nrep_id", "left"
-        ).select(
-            "rep_id",
-            F.coalesce(F.col("cluster_id"), F.col("nrep_id")).alias("cluster_id"),
+        # merge), then own file_id.  Only (file_id, hash) columns shuffle;
+        # content comes back from the source scan (same deterministic
+        # file_id), so the sha256 invariant is testable on the output
+        # without content ever riding through the pipeline's shuffles.
+        nm = (
+            files.select("file_id", "content_sha", "_nmd5")
+            .join(norm_reps_df, "_nmd5")
+            .join(rep_clusters.withColumnRenamed("id", "nrep_id"), "nrep_id", "left")
+            .select(
+                "file_id",
+                "content_sha",
+                F.coalesce(F.col("cluster_id"), F.col("nrep_id")).alias("cluster_id"),
+            )
         )
-        m = mapping.join(nm, "rep_id", "left").select(
-            F.col("id").alias("file_id"),
-            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),
-        )
-        return files.join(m, "file_id", "left").withColumn(
-            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("file_id"))
+        return (
+            code_files.join(nm, "file_id", "left")
+            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("file_id")))
         )
 
     assignments = run("07_assignments", _assign, persist=False)

@@ -301,19 +301,114 @@ LEVEN_THRESHOLD = 80
 
 
 def leven_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: Levenshtein-ratio scoring (short-string fallback metric)."""
+    """F9: Levenshtein-ratio scoring (short-string fallback metric).
+
+    Lossless length-band prefilter: ratio >= T requires
+    dist <= (1 - T/100) * max_len, and dist >= |len_a - len_b| always, so
+    pairs with |len_a - len_b| > 0.2 * greatest(len_a, len_b) can never
+    reach threshold 80 — pruned BEFORE the levenshtein evaluation.  Output
+    is provably identical to the unfiltered join (oracle unchanged)."""
     from .functions.text import leven_ratio
 
     c = load_testdata(spark, sf_dir, "customer")
     a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a"),
-                 F.col("c_nationkey").alias("nk"))
+                 F.col("c_nationkey").alias("nk"),
+                 F.length("c_name").alias("len_a"))
     b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b"),
-                 F.col("c_nationkey").alias("nk"))
-    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b"))
+                 F.col("c_nationkey").alias("nk"),
+                 F.length("c_name").alias("len_b"))
+    len_band = (
+        F.abs(F.col("len_a") - F.col("len_b"))
+        <= (1 - LEVEN_THRESHOLD / 100.0) * F.greatest("len_a", "len_b")
+    )
+    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b")).filter(len_band)
     scored = pairs.select(
         "id_a", "id_b", leven_ratio(F.col("n_a"), F.col("n_b")).alias("leven_ratio")
     )
     return scored.filter(F.col("leven_ratio") >= LEVEN_THRESHOLD)
+
+
+# ----------------- manual-review loop (O6 / F12 / F13 / F17) -----------------
+
+REVIEW_SEED = 42
+REVIEW_N = 100
+
+
+def manual_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: seeded-shuffle review batch (match_filtering.py:205).  The
+    shuffle key is content-derived (md5(id:seed)) so the sample is
+    partition-independent and oracle-exact."""
+    from .operators.manual_review import review_sample
+
+    c = load_testdata(spark, sf_dir, "customer")
+    return review_sample(
+        c.select("c_custkey", "c_name"), "c_custkey", REVIEW_N, REVIEW_SEED
+    ).select("c_custkey", "c_name", "shuffle_key")
+
+
+def stamped_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: match_date stamping on the upload frame (data_matching.py:294).
+    The oracle-facing column is day-granular (both engines evaluate their
+    clock during the same run); the full ISO-timestamp stamp is
+    operators.manual_review.stamp_match_date, pytest-covered."""
+    c = load_testdata(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.date_format(F.current_date(), "yyyy-MM-dd").alias("match_date"),
+        F.lit(" ").alias("match_by"),
+    )
+
+
+def upper_key_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: UPPER-key join back to a lookup whose keys differ in case
+    (db_calls.py:110-122) — matches exist only because of UPPER()."""
+    from .operators.manual_review import upper_key_join
+
+    c = load_testdata(spark, sf_dir, "customer")
+    lookup = c.select(
+        F.lower(F.col("c_name")).alias("org_string"),
+        F.col("c_custkey").alias("lookup_key"),
+    )
+    joined = upper_key_join(
+        c.select("c_custkey", "c_name"), F.broadcast(lookup),
+        "c_name", "org_string", "inner",
+    )
+    return joined.select("c_custkey", "lookup_key")
+
+
+TRAIN_MATCH_RATIO = 90
+
+
+def training_export_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: labelled-pair JSON training records (convert_training.py:33-57).
+    Pairs come from the blocked Levenshtein scorer; label 'match' at
+    ratio >= 90 else 'distinct'."""
+    from .functions.text import leven_ratio
+    from .operators.manual_review import training_export
+
+    c = load_testdata(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a"),
+                 F.col("c_nationkey").alias("nk"),
+                 F.length("c_name").alias("len_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b"),
+                 F.col("c_nationkey").alias("nk"),
+                 F.length("c_name").alias("len_b"))
+    len_band = (
+        F.abs(F.col("len_a") - F.col("len_b"))
+        <= (1 - LEVEN_THRESHOLD / 100.0) * F.greatest("len_a", "len_b")
+    )
+    pairs = (
+        a.join(b, "nk").filter(F.col("id_a") < F.col("id_b")).filter(len_band)
+        .withColumn("leven_ratio", leven_ratio(F.col("n_a"), F.col("n_b")))
+        .filter(F.col("leven_ratio") >= LEVEN_THRESHOLD)
+    )
+    labelled = pairs.withColumn(
+        "label",
+        F.when(F.col("leven_ratio") >= TRAIN_MATCH_RATIO, "match").otherwise("distinct"),
+    )
+    return training_export(labelled, "n_a", "n_b", "label").select(
+        "id_a", "id_b", "training_json"
+    )
 
 
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +446,10 @@ def build_queries() -> dict:
         "leven_name_pairs": leven_name_pairs,
         "events_windowed_agg": events_windowed_agg,
         "events_json_extract": events_json_extract,
+        "manual_review_sample": manual_review_sample,
+        "stamped_matches": stamped_matches,
+        "upper_key_matches": upper_key_matches,
+        "training_export_pairs": training_export_pairs,
     }
 
 
@@ -384,4 +483,10 @@ def build_oracles() -> dict:
         "leven_name_pairs": o.leven_name_pairs_sql(LEVEN_THRESHOLD),
         "events_windowed_agg": o.events_windowed_agg_sql(),
         "events_json_extract": o.events_json_extract_sql(),
+        "manual_review_sample": o.manual_review_sample_sql(REVIEW_N, REVIEW_SEED),
+        "stamped_matches": o.stamped_matches_sql(),
+        "upper_key_matches": o.upper_key_matches_sql(),
+        "training_export_pairs": o.training_export_pairs_sql(
+            LEVEN_THRESHOLD, TRAIN_MATCH_RATIO
+        ),
     }

@@ -12,6 +12,7 @@ same resume semantics.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -29,8 +30,15 @@ def build_session(
     # local scale; on a real cluster you'd set 2-3x total cores and let AQE
     # coalesce down.
     if shuffle_partitions is None:
-        par = "".join(c for c in master if c.isdigit()) or "32"
-        shuffle_partitions = max(int(par), 8)
+        m = re.match(r"local\[(\d+|\*)\]", master)
+        if m:
+            n = (os.cpu_count() or 8) if m.group(1) == "*" else int(m.group(1))
+        else:
+            # non-local master: cores unknown before the session exists —
+            # a sane fixed default; callers on a real cluster pass
+            # shuffle_partitions (or set it 2-3x total executor cores).
+            n = 200
+        shuffle_partitions = max(n, 8)
 
     b = (
         SparkSession.builder.appName(app_name)

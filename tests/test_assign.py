@@ -9,6 +9,7 @@ from project_cascade_spark.operators.assign import (
     attach_clusters,
     propagate_best,
     renumber_singletons,
+    renumber_singletons_scalable,
 )
 
 
@@ -62,6 +63,27 @@ def test_renumber_singletons_groups_by_exact_key(spark):
     )
     out = renumber_singletons(df, "key").collect()
     got = {r["id"]: r["cluster_id"] for r in out}
+    assert got[1] == got[2] == 100
+    assert got[3] == got[4] and got[3] > 103
+    assert got[5] != got[3] and got[5] > 103
+
+
+def test_renumber_singletons_scalable_same_contract(spark):
+    """Scale path (no unpartitioned window): same grouping contract as the
+    dense_rank form — equal keys share a fresh id above max(cluster_id);
+    ids need not be dense."""
+    df = spark.createDataFrame(
+        [
+            (1, 100, "a"),
+            (2, 100, "b"),
+            (3, 101, "x"),
+            (4, 102, "x"),
+            (5, 103, "y"),
+        ],
+        "id long, cluster_id long, key string",
+    )
+    out = renumber_singletons_scalable(df, "key")
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert got[1] == got[2] == 100
     assert got[3] == got[4] and got[3] > 103
     assert got[5] != got[3] and got[5] > 103

@@ -52,6 +52,27 @@ def test_simhash_kernel_matches_expr(spark):
         assert row["expr_sim"] == row["kern_sim"]
 
 
+def test_simhash_kernel_null_empty_parity(spark):
+    """Empty token array → all bits set (every vote sum is 0 >= 0); null
+    array → null.  Kernel must match the expression form on both (the
+    'bit-identical twin' contract includes the degenerate inputs)."""
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [12345, 67890])],
+        "id long, tok_hashes array<long>",
+    )
+    out = {
+        r["id"]: (r["expr_sim"], r["kern_sim"])
+        for r in df.select(
+            "id",
+            simhash_expr(F.col("tok_hashes"), CFG).alias("expr_sim"),
+            apply_simhash(F.col("tok_hashes"), CFG).alias("kern_sim"),
+        ).collect()
+    }
+    assert out[1][0] == out[1][1] == (1 << CFG.simhash_bits) - 1
+    assert out[2][0] is None and out[2][1] is None
+    assert out[3][0] == out[3][1]
+
+
 def test_minhash_similar_texts_share_bands(spark):
     """Sanity: near-identical token streams collide on most signature slots."""
     df = _df(spark)
