@@ -102,11 +102,13 @@ def dedup_pipeline(
     # only (file_id, hash) columns.
     par = code_files.sparkSession.sparkContext.defaultParallelism
     heavy_par = max(4 * par, 16)
-    # The working set drops `content` right after hashing: every downstream
-    # stage needs only (file_id, content_sha, norm, _nmd5), which halves the
-    # checkpoint/shuffle bytes of the hottest table; the final assignment
-    # re-reads content from the source scan (parallel, lazy) instead of
-    # dragging it through the whole pipeline.
+    # The durable working set is HASHES ONLY — (file_id, content_sha,
+    # _nmd5) at ~48 B/row: content and even the normalized text stay out of
+    # every checkpoint and shuffle (norm is recomputed from the source scan
+    # for the deduped representatives inside the parallel prepared stage,
+    # and content re-joins from the source at assignment time).  At 10^12
+    # rows this is the difference between checkpointing terabytes of text
+    # and checkpointing gigabytes of hashes.
     #
     # The input is repartitioned only when the scan itself is UNDER-parallel
     # (fewer splits than cores): a well-sharded source already spreads the
@@ -118,9 +120,8 @@ def dedup_pipeline(
     files = run(
         "00_input",
         lambda: add_content_hash(src, "content")
-        .withColumn("norm", normalize_code(F.col("content")))
-        .withColumn("_nmd5", F.md5("norm"))
-        .select("file_id", "content_sha", "norm", "_nmd5"),
+        .withColumn("_nmd5", F.md5(normalize_code(F.col("content"))))
+        .select("file_id", "content_sha", "_nmd5"),
     )
 
     # Exact dedup, both levels in ONE tiny groupBy: identical content has
@@ -137,15 +138,22 @@ def dedup_pipeline(
     )
 
     def _prepared() -> DataFrame:
-        base = files.select("file_id", "norm").join(
+        # representatives only: source scan ⋈ rep ids (the id side is tiny —
+        # AQE broadcasts it, so content moves at most once, in the balance
+        # repartition below), then normalization runs on the deduped set.
+        base = src.select("file_id", "content").join(
             norm_reps_df.select(F.col("nrep_id").alias("file_id")), "file_id"
         )
         # Explicit repartition: AQE coalesces this small-byte table to 1-2
         # partitions, which would serialize every downstream per-row stage
-        # (shingle hashing, minhash kernel, winnowing) onto 1-2 cores —
-        # measured as 3 × ~50s stages at 8k files.  Heavy per-row work needs
-        # partitions ∝ cores regardless of byte size (4x for balance).
+        # (normalization regexes, shingle hashing, minhash kernel,
+        # winnowing) onto 1-2 cores — measured as 3 × ~50s stages at 8k
+        # files.  Heavy per-row work needs partitions ∝ cores regardless of
+        # byte size (4x for balance).
         base = base.repartition(heavy_par, "file_id")
+        base = base.withColumn("norm", normalize_code(F.col("content"))).select(
+            "file_id", "norm"
+        )
         # verify runs on HASHED shingles — set semantics preserved via
         # array_distinct (31-bit hash collisions shift Jaccard by <1e-3).
         # xxhash64 per shingle (the md5 primitive costs ~7µs/call and is
