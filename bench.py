@@ -36,9 +36,11 @@ PIPELINE_FILES = int(os.environ.get("CASCADE_BENCH_FILES", "30000"))
 # times and the best wall kept: interference is one-sided (only ever adds
 # time), so min() measures the job rather than the neighbors.
 BIG_REPS = int(os.environ.get("CASCADE_BENCH_BIG_REPS", "2"))
-# the single-core leg is the stable one (observed spread <2% across the
-# day vs ±15% on multi-core legs), so one rep suffices
-SMALL_REPS = int(os.environ.get("CASCADE_BENCH_SMALL_REPS", "1"))
+# EQUAL rep counts per leg: min-of-reps is only a symmetric estimator when
+# both legs get the same number of draws — one-sided rep counts would give
+# the fast leg extra chances to land a low wall and bias the efficiency
+# ratio upward (round-2 advice).
+SMALL_REPS = int(os.environ.get("CASCADE_BENCH_SMALL_REPS", str(BIG_REPS)))
 # The sandbox CPU throttles under sustained load and recovers when idle
 # (measured: a fixed single-thread numpy probe runs 1.18s on a rested box,
 # 1.42s right after a long multi-core burst; a local[4] pipeline leg runs
@@ -167,7 +169,11 @@ def main() -> None:
     wall_small = min(walls[SMALL_N])
 
     # -- part 2: headline queries at SF_DIR (32 threads; runs last so its
-    # burst can't throttle the scaling legs) --
+    # burst can't throttle the scaling legs).  Cool-down first: the scaling
+    # legs just ran a sustained burst, and query walls measured on a
+    # throttled box are not comparable across rounds (the r2 emb_topk
+    # "regression" was exactly this artifact).
+    time.sleep(COOLDOWN_BIG_S)
     from project_cascade_spark.session import build_session
 
     import __spark_entry__ as entrymod

@@ -29,9 +29,16 @@ def input_fingerprint(input_arg: str, preset: str, cfg) -> str:
 
     h = hashlib.sha256(f"{input_arg}|{preset}|{cfg!r}".encode())
     if os.path.isdir(input_arg):
-        for name in sorted(os.listdir(input_arg)):
-            st = os.stat(os.path.join(input_arg, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        # recursive walk: partitioned parquet nests part files in subdirs,
+        # and editing one in place changes no top-level name/size/mtime —
+        # every file's relative path + size + mtime must feed the digest
+        # for the "editing the input invalidates" contract to hold.
+        for dirpath, dirnames, filenames in sorted(os.walk(input_arg)):
+            dirnames.sort()
+            rel = os.path.relpath(dirpath, input_arg)
+            for name in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, name))
+                h.update(f"{rel}/{name}:{st.st_size}:{st.st_mtime_ns}".encode())
     elif os.path.isfile(input_arg):
         st = os.stat(input_arg)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())

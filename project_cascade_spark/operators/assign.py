@@ -110,6 +110,11 @@ def renumber_singletons_scalable(
         singles.select(key_col)
         .distinct()
         .withColumn("_new_id", F.monotonically_increasing_id() + F.lit(max_clust + 1))
+        # pinned: monotonically_increasing_id is partition-dependent, so an
+        # unpersisted plan could hand the same key a different id on each
+        # action (count vs write).  localCheckpoint materializes the mapping
+        # once; every downstream action reads the same ids.
+        .localCheckpoint(eager=True)
     )
     renum = (
         singles.drop(cluster_col)

@@ -90,7 +90,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in `edges`; cluster_id is
     the minimum node id of the component.  Nodes absent from `edges`
@@ -112,11 +112,15 @@ def connected_components(
         # full count() pass, and when the set is small the probe rows ARE
         # the edges (no second collect).  Only an over-threshold set pays
         # for recomputing e (rare, and then the distributed path dominates
-        # anyway).
-        probe = e.limit(driver_threshold + 1).collect()
+        # anyway).  Arrow transfer (toPandas) instead of collect(): two
+        # int64 columns arrive as ~16 B/row numpy buffers, not ~500 B/row
+        # Python Row objects — at the 500k threshold that is ~8 MB vs
+        # hundreds of MB of driver heap.
+        probe = e.limit(driver_threshold + 1).toPandas()
         if len(probe) <= driver_threshold:
             return _local_union_find(
-                [(r["u"], r["v"]) for r in probe], edges.sparkSession
+                list(zip(probe["u"].tolist(), probe["v"].tolist())),
+                edges.sparkSession,
             )
     prev = _edge_checksum(e)
     for _ in range(max_iter):

@@ -390,8 +390,12 @@ FROM customer ORDER BY shuffle_key LIMIT {n}"""
 
 def stamped_matches_sql() -> str:
     """F12: match-date stamping (data_matching.py:294).  Day-granular so
-    both engines agree when run in the same gate pass."""
-    return """SELECT c_custkey, strftime(current_date, '%Y-%m-%d') AS match_date,
+    both engines agree when run in the same gate pass.  The Spark session
+    pins its timezone to UTC (session.py), so the oracle evaluates the UTC
+    date explicitly — `current_date` would read the DuckDB session TimeZone
+    and diverge on a non-UTC host around midnight."""
+    return """SELECT c_custkey,
+    strftime(now() AT TIME ZONE 'UTC', '%Y-%m-%d') AS match_date,
     ' ' AS match_by FROM customer ORDER BY c_custkey"""
 
 
