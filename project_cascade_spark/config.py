@@ -85,6 +85,10 @@ class CascadeConfig:
     # --- skew control ---
     max_bucket_size: int = 200  # LSH buckets larger than this are capped
                                 # (salted subsample) — skew guard for 100 TB
+    cap_salts: int = 16         # salt fan-out for the bucket-cap window: a
+                                # degenerate bucket is split across this many
+                                # window partitions before capping, so no
+                                # single task ever sorts the whole bucket
     shuffle_partitions: int = 32
 
     def __post_init__(self) -> None:

@@ -58,6 +58,42 @@ def explode_bands(
     )
 
 
+def cap_bucket_rows(
+    df: DataFrame,
+    bucket_cols: str | list[str],
+    id_col: str,
+    max_bucket_size: int,
+    n_salts: int = 16,
+    salt: Column | None = None,
+) -> DataFrame:
+    """Salted deterministic bucket cap: keep at most ~max_bucket_size rows
+    per bucket WITHOUT any single task ever sorting a whole degenerate
+    bucket (north_rule: explicit skew salting).
+
+    The row_number window partitions by (bucket, salt) where
+    salt = xxhash64(id) % n_salts, per-salt cap = max_bucket_size/n_salts:
+    a 10^8-row boilerplate bucket splits into n_salts window partitions
+    instead of funneling through one reducer.  The salt is content-derived,
+    so the kept set is identical under any input partitioning.  `salt`
+    overrides the salt expression (the oracle-parity path uses an
+    md5-derived salt that DuckDB can reproduce; xxhash64 is the fast
+    default).
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    n_salts = max(1, min(n_salts, max_bucket_size))
+    per_salt = max(max_bucket_size // n_salts, 1)
+    if salt is None:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w = Window.partitionBy(*bucket_cols, "_cap_salt").orderBy(id_col)
+    return (
+        df.withColumn("_cap_salt", salt)
+        .withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= per_salt)
+        .drop("_cap_rn", "_cap_salt")
+    )
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -83,11 +119,17 @@ def candidate_pairs(
         # Recall impact is nil after exact-dedup because residual giant
         # buckets are near-identical boilerplate already connected through
         # other bands / the exact-dup stage.
-        w = Window.partitionBy("band").orderBy(id_col)
-        bands = (
-            bands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= cfg.max_bucket_size)
-            .drop("_rn")
+        #
+        # SALTED cap (north_rule: explicit skew salting): the window
+        # partitions by (band, salt) with salt = xxhash64(id) % S, per-salt
+        # cap = max_bucket_size / S.  A bare partitionBy("band") would sort
+        # an entire degenerate bucket (boilerplate shared by 10^8 files) in
+        # ONE task before discarding rows; salting splits that sort across
+        # S tasks, and the total kept per band stays <= max_bucket_size.
+        # xxhash64 salting is deterministic and partition-independent, so
+        # the capped set is stable across runs and cluster layouts.
+        bands = cap_bucket_rows(
+            bands, "band", id_col, cfg.max_bucket_size, cfg.cap_salts
         )
     lcols = [F.col(id_col).alias("id_a"), F.col("band")]
     rcols = [F.col(id_col).alias("id_b"), F.col("band")]

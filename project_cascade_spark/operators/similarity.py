@@ -92,6 +92,8 @@ def srp_lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     max_bucket_size: int = 2000,
+    cap_salts: int = 16,
+    cap_salt_expr=None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: L independent SRP hash tables, candidate
     union across tables, exact cosine within bucket (classic multi-table
@@ -100,10 +102,13 @@ def srp_lsh_topk(
     per-table recall, L buys recall back at linear cost.
 
     Scale shape (the 100 TB concerns):
-    - buckets are CAPPED at max_bucket_size per (table, bucket) — a dense
-      embedding cluster would otherwise go quadratic in one hot bucket
-      (same guard as minhash_lsh.candidate_pairs); rows capped out of a
-      bucket in one table still reach it through the other L-1 tables;
+    - buckets are CAPPED at max_bucket_size per (table, bucket) via the
+      SALTED cap window (minhash_lsh.cap_bucket_rows, north_rule skew
+      salting) — a dense embedding cluster would otherwise go quadratic in
+      one hot bucket AND the cap itself would sort that bucket in one task;
+      rows capped out of a bucket in one table still reach it through the
+      other L-1 tables;  cap_salt_expr overrides the salt (oracle-parity
+      path passes an md5-derived salt DuckDB can reproduce);
     - the bucket self-join and the cross-table dropDuplicates carry IDS
       ONLY — full vectors are re-joined once per side afterwards, so no
       shuffle ever moves a vector more than once.
@@ -123,11 +128,11 @@ def srp_lsh_topk(
     for bt in tables[1:]:
         b = b.unionByName(bt)
     if max_bucket_size:
-        w_cap = Window.partitionBy("srp_table", "srp_bucket").orderBy("_id")
-        b = (
-            b.withColumn("_rn", F.row_number().over(w_cap))
-            .filter(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
+        from .minhash_lsh import cap_bucket_rows
+
+        b = cap_bucket_rows(
+            b, ["srp_table", "srp_bucket"], "_id", max_bucket_size,
+            n_salts=cap_salts, salt=cap_salt_expr,
         )
     left = b.select(F.col("_id").alias("q_id"), "srp_table", "srp_bucket")
     right = b.select(F.col("_id").alias("n_id"), "srp_table", "srp_bucket")
