@@ -298,30 +298,55 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEVEN_THRESHOLD = 80
+LEVEN_LEN_BUCKET = 4  # width of the length-bucket join key
 
 
-def leven_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: Levenshtein-ratio scoring (short-string fallback metric).
+def _blocked_name_pairs(c: DataFrame) -> DataFrame:
+    """Same-nation candidate name pairs with a (nation, length-bucket)
+    equi-join key — sub-quadratic pair enumeration for the Levenshtein
+    scorers (id_a, id_b, n_a, n_b, len_a, len_b).
 
-    Lossless length-band prefilter: ratio >= T requires
-    dist <= (1 - T/100) * max_len, and dist >= |len_a - len_b| always, so
-    pairs with |len_a - len_b| > 0.2 * greatest(len_a, len_b) can never
-    reach threshold 80 — pruned BEFORE the levenshtein evaluation.  Output
-    is provably identical to the unfiltered join (oracle unchanged)."""
-    from .functions.text import leven_ratio
-
-    c = load_testdata(spark, sf_dir, "customer")
+    Lossless: ratio >= T requires dist <= (1 - T/100) * max_len, and
+    dist >= |len_a - len_b| always, so a qualifying partner's length lies
+    in [T/100 * len_a, len_a / (T/100)].  The left side explodes to every
+    length bucket that range covers (bounds widened by one to floor/ceil
+    safely), the right side carries its single bucket, and the join runs
+    on (nk, len_bucket) — pair ROWS now materialize per (nation, similar
+    length) block instead of per nation.  The original length-band
+    predicate is re-applied after the join, so the output is provably
+    identical to the unblocked form (oracle unchanged)."""
+    t = LEVEN_THRESHOLD / 100.0
     a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a"),
                  F.col("c_nationkey").alias("nk"),
                  F.length("c_name").alias("len_a"))
     b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b"),
                  F.col("c_nationkey").alias("nk"),
                  F.length("c_name").alias("len_b"))
+    lo_bucket = F.floor(F.floor(F.col("len_a") * t) / LEVEN_LEN_BUCKET)
+    hi_bucket = F.floor(F.ceil(F.col("len_a") / t) / LEVEN_LEN_BUCKET)
+    a = a.withColumn("len_bucket", F.explode(F.sequence(lo_bucket, hi_bucket)))
+    b = b.withColumn(
+        "len_bucket", F.floor(F.col("len_b") / LEVEN_LEN_BUCKET).cast("long")
+    )
     len_band = (
         F.abs(F.col("len_a") - F.col("len_b"))
-        <= (1 - LEVEN_THRESHOLD / 100.0) * F.greatest("len_a", "len_b")
+        <= (1 - t) * F.greatest("len_a", "len_b")
     )
-    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b")).filter(len_band)
+    return (
+        a.join(b, ["nk", "len_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(len_band)
+        .drop("len_bucket")
+    )
+
+
+def leven_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: Levenshtein-ratio scoring (short-string fallback metric) over
+    length-blocked same-nation pairs (_blocked_name_pairs)."""
+    from .functions.text import leven_ratio
+
+    c = load_testdata(spark, sf_dir, "customer")
+    pairs = _blocked_name_pairs(c)
     scored = pairs.select(
         "id_a", "id_b", leven_ratio(F.col("n_a"), F.col("n_b")).alias("leven_ratio")
     )
@@ -387,18 +412,8 @@ def training_export_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.manual_review import training_export
 
     c = load_testdata(spark, sf_dir, "customer")
-    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a"),
-                 F.col("c_nationkey").alias("nk"),
-                 F.length("c_name").alias("len_a"))
-    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b"),
-                 F.col("c_nationkey").alias("nk"),
-                 F.length("c_name").alias("len_b"))
-    len_band = (
-        F.abs(F.col("len_a") - F.col("len_b"))
-        <= (1 - LEVEN_THRESHOLD / 100.0) * F.greatest("len_a", "len_b")
-    )
     pairs = (
-        a.join(b, "nk").filter(F.col("id_a") < F.col("id_b")).filter(len_band)
+        _blocked_name_pairs(c)
         .withColumn("leven_ratio", leven_ratio(F.col("n_a"), F.col("n_b")))
         .filter(F.col("leven_ratio") >= LEVEN_THRESHOLD)
     )
