@@ -242,6 +242,59 @@ SELECT q_id, n_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def emb_ann_lsh_sql(
+    k: int, dim: int, n_planes: int, n_tables: int, seed: int
+) -> str:
+    """Exact DuckDB twin of operators/similarity.srp_lsh_topk: the SRP
+    hyperplanes are regenerated from the same seeded RandomState stream and
+    embedded as double literals (repr round-trips bit-exactly), so both
+    engines compute identical buckets, identical candidate sets, and
+    identical within-bucket cosine rankings.
+
+    The bucket cap is provably a no-op at gate scale — the sf0.01 corpus has
+    fewer rows in TOTAL than max_bucket_size — so the oracle omits it; the
+    salted cap itself is covered by tests/test_bucket_cap.py.
+
+    Sign-boundary note: bucket bits compare dot >= 0; both engines sum the
+    same 64 double products, so a flip would need |dot| at float-noise
+    scale (~1e-13), measure-zero for randn planes over real embeddings.
+    """
+    import numpy as np
+
+    bucket_tables = []
+    for t in range(n_tables):
+        rng = np.random.RandomState(seed + 1009 * t)
+        planes = rng.randn(n_planes, dim)
+        bits = []
+        for j in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+            dot = (f"list_sum(list_transform(generate_series(1, {dim}),"
+                   f" i -> embedding[i]::DOUBLE * ({lit})[i]))")
+            bits.append(
+                f"CASE WHEN ({dot}) >= 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+            )
+        bucket_tables.append(
+            f"SELECT vec_id AS _id, {t} AS srp_table,"
+            f" ({' + '.join(bits)}) AS srp_bucket FROM embeddings"
+        )
+    buckets_union = "\nUNION ALL\n".join(bucket_tables)
+    cos = _cosine_sql("q.embedding", "n.embedding", dim)
+    return f"""WITH buckets AS (
+{buckets_union}),
+cand AS (SELECT DISTINCT a._id AS q_id, b._id AS n_id
+    FROM buckets a JOIN buckets b
+      ON a.srp_table = b.srp_table AND a.srp_bucket = b.srp_bucket
+     AND a._id <> b._id),
+scored AS (SELECT c.q_id, c.n_id, {cos} AS cosine
+    FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                JOIN embeddings n ON n.vec_id = c.n_id),
+ranked AS (SELECT q_id, n_id, cosine,
+    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+    FROM scored)
+SELECT q_id, n_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
 def emb_near_dup_sql(threshold: float, dim: int) -> str:
     cos = _cosine_sql("a.embedding", "b.embedding", dim)
     return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine

@@ -30,6 +30,9 @@ EMB_DIM = 64
 EMB_TOPK = 5
 EMB_QUERIES = 25
 EMB_NEAR_DUP_T = 0.4  # data-driven: max pairwise cosine in testdata is ~0.51
+EMB_ANN_PLANES = 4    # SRP geometry shared by the Spark query and its oracle
+EMB_ANN_TABLES = 8
+EMB_ANN_SEED = 42
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,16 +165,21 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: multi-table SRP-LSH top-k.  Approximate by design —
-    no SQL oracle (the driver records a rows-only check); exactness of the
-    within-bucket scoring is covered by emb_topk's oracle and
-    tests/test_similarity.py's recall bound."""
+    """Scale-path ANN: multi-table SRP-LSH top-k.  Approximate vs
+    brute force by design, but DETERMINISTIC given the seed — the DuckDB
+    oracle regenerates the same hyperplanes and computes identical buckets,
+    candidates, and rankings (oracle.emb_ann_lsh_sql), so the driver gate
+    checks it exactly.  Recall vs brute force is bounded separately in
+    tests/test_similarity.py."""
     from .operators.similarity import srp_lsh_topk
 
     emb = _emb(spark, sf_dir)
-    return srp_lsh_topk(
+    out = srp_lsh_topk(
         emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
-        n_planes=4, n_tables=8,
+        n_planes=EMB_ANN_PLANES, n_tables=EMB_ANN_TABLES, seed=EMB_ANN_SEED,
+    )
+    return out.select(
+        "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -484,6 +492,9 @@ def build_oracles() -> dict:
         "doc_quality": o.doc_quality_sql(),
         "cascade_band_filter": o.cascade_band_filter_sql(),
         "emb_topk": o.emb_topk_sql(EMB_TOPK, EMB_QUERIES, EMB_DIM),
+        "emb_ann_lsh": o.emb_ann_lsh_sql(
+            EMB_TOPK, EMB_DIM, EMB_ANN_PLANES, EMB_ANN_TABLES, EMB_ANN_SEED
+        ),
         "emb_near_dup": o.emb_near_dup_sql(EMB_NEAR_DUP_T, EMB_DIM),
         "match_stats": o.match_stats_sql(),
         "cluster_sizes_window": o.cluster_sizes_window_sql(),
