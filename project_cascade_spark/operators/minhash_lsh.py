@@ -145,3 +145,47 @@ def candidate_pairs(
         ratio = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
         pairs = pairs.filter(ratio >= F.lit(cfg.jaccard_threshold))
     return pairs.select("id_a", "id_b").distinct()
+
+
+def candidate_pairs_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    sig_col: str,
+    cfg: CascadeConfig,
+    cap_buckets: bool = False,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Two-table linkage candidates: (id_a from left) x (id_b from right)
+    band collisions — the reference's PRIMARY entry point, source-vs-registry
+    csvlink linkage (Regional_Run_Files/data_matching.py:146-198,
+    settings.py:37-38), where self-dedup is the degenerate left == right
+    case.
+
+    Same band machinery as candidate_pairs but with SIDES TAGGED instead of
+    an id_a < id_b ordering: every left band row meets every right band row
+    in its bucket exactly once (dedup on the pair).  The salted bucket cap
+    and the lossless size-ratio prefilter apply per side, as in the
+    self-join.  Verification is the caller's step (jaccard_verify over a
+    frame containing both sides' features — ids must be globally unique
+    across the two tables, as with any linkage key space).
+    """
+    def bands_of(df: DataFrame, out_id: str, out_size: str | None) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(out_id),
+            F.explode(band_keys(F.col(sig_col), cfg)).alias("band"),
+        ]
+        if size_col:
+            cols.insert(1, F.col(size_col).alias(out_size))
+        b = df.select(*cols)
+        if cap_buckets and cfg.max_bucket_size:
+            b = cap_bucket_rows(b, "band", out_id, cfg.max_bucket_size, cfg.cap_salts)
+        return b
+
+    lb = bands_of(left, "id_a", "n_a")
+    rb = bands_of(right, "id_b", "n_b")
+    pairs = lb.join(rb, "band")
+    if size_col:
+        ratio = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+        pairs = pairs.filter(ratio >= F.lit(cfg.jaccard_threshold))
+    return pairs.select("id_a", "id_b").distinct()

@@ -56,12 +56,16 @@ def _sig_cte(cfg: CascadeConfig) -> str:
     return f"sig AS (SELECT doc_id, [\n    {mins}] AS sig FROM hx)"
 
 
-def _band_pairs_cte(cfg: CascadeConfig) -> str:
+def _bands_cte(cfg: CascadeConfig) -> str:
     b, r = cfg.lsh_bands, cfg.lsh_rows
     return f"""
 bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, {b - 1}),
         j -> j::VARCHAR || ':' || array_to_string(sig[j*{r}+1 : j*{r}+{r}], ','))) AS band
-    FROM sig),
+    FROM sig)"""
+
+
+def _band_pairs_cte(cfg: CascadeConfig) -> str:
+    return f"""{_bands_cte(cfg)},
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"""
 
@@ -80,6 +84,19 @@ def doc_minhash_pairs_sql(cfg: CascadeConfig) -> str:
     return f"""WITH {_doc_shingle_ctes(cfg)},
 {_sig_cte(cfg)},
 {_band_pairs_cte(cfg)},
+{_verified_pairs_cte(cfg)}
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs ORDER BY id_a, id_b"""
+
+
+def link_pairs_sql(cfg: CascadeConfig) -> str:
+    """Two-table linkage twin: cross-table band collisions only (even
+    doc_ids = source, odd = registry), verified at the same threshold."""
+    return f"""WITH {_doc_shingle_ctes(cfg)},
+{_sig_cte(cfg)},
+{_bands_cte(cfg)},
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band
+    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
 {_verified_pairs_cte(cfg)}
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs ORDER BY id_a, id_b"""
 

@@ -62,6 +62,22 @@ def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table linkage (the reference's csvlink source-vs-registry mode,
+    data_matching.py:146-198): even doc_ids play the source table, odd
+    doc_ids the registry; candidates from cross-table band collisions only
+    (candidate_pairs_linkage), verified at the same Jaccard threshold."""
+    from .operators.minhash_lsh import candidate_pairs_linkage
+
+    sh = _docs_shingled(spark, sf_dir)
+    sig = add_minhash(sh, "shingles", DOC_CFG, use_kernel=True)
+    left = sig.filter(F.col("doc_id") % 2 == 0)
+    right = sig.filter(F.col("doc_id") % 2 == 1)
+    cand = candidate_pairs_linkage(left, right, "doc_id", "minhash", DOC_CFG)
+    ver = jaccard_verify(cand, sh, "doc_id", "shingles", DOC_CFG)
+    return ver.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _docs_shingled(spark, sf_dir)
     pairs = ngram_jaccard_pairs(sh, "doc_id", "shingles", DOC_CFG.jaccard_threshold)
@@ -443,6 +459,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_queries() -> dict:
     return {
         "doc_minhash_pairs": doc_minhash_pairs,
+        "link_pairs": link_pairs,
         "doc_near_dup_clusters": doc_near_dup_clusters,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_exact_dedup": doc_exact_dedup,
@@ -481,6 +498,7 @@ def build_oracles() -> dict:
 
     return {
         "doc_minhash_pairs": o.doc_minhash_pairs_sql(DOC_CFG),
+        "link_pairs": o.link_pairs_sql(DOC_CFG),
         "doc_near_dup_clusters": o.doc_near_dup_clusters_sql(DOC_CFG),
         "doc_ngram_jaccard": o.doc_ngram_jaccard_pairs_sql(DOC_CFG),
         "doc_exact_dedup": o.doc_exact_dedup_sql(),
