@@ -2,9 +2,10 @@
 (Regional_Run_Files/db_calls.py:16-141 psycopg2 reads, 159-278 uploads)
 re-expressed as Spark JDBC with partitioned parallel reads.
 
-Not exercised in this sandbox (no JDBC driver jar is bundled); the
-functions only *declare* the scan/write, so they are unit-testable up to
-plan construction and run anywhere `--jars postgresql.jar` is supplied.
+Exercised at runtime against Apache Derby embedded (whose driver ships in
+Spark's own jars): tests/test_jdbc.py runs the full write → read →
+partitioned-read → predicate-pushdown round trip through these exact
+functions.  A Postgres run only swaps the URL and `--jars postgresql.jar`.
 
 Scale shape:
 - reads are PARTITIONED on a numeric column (partition_col + bounds +
@@ -42,7 +43,9 @@ def jdbc_scan_options(
     (db_calls.py:62-105).
     """
     if predicate:
-        table = f"(SELECT * FROM {table} WHERE {predicate}) AS _pushed"
+        # alias must not start with '_' — Derby (and the SQL standard)
+        # reject leading-underscore identifiers
+        table = f"(SELECT * FROM {table} WHERE {predicate}) AS pushed_scan"
     opts = {"url": url, "dbtable": table, "fetchsize": str(fetchsize)}
     if partition_col is not None:
         if lower_bound is None or upper_bound is None:
