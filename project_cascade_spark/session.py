@@ -59,3 +59,30 @@ def build_session(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an iceberg-spark-runtime jar is on the session classpath.
+    The sandbox bundles none; a production submit adds
+    `--packages org.apache.iceberg:iceberg-spark-runtime-...`."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def enable_iceberg_catalog(
+    spark: SparkSession,
+    name: str = "cascade",
+    warehouse: str = "/tmp/cascade_warehouse",
+) -> bool:
+    """Register a Hadoop-type Iceberg catalog on a live session (catalog
+    plugins resolve lazily, so runtime conf is sufficient).  Returns False
+    — without touching conf — when the runtime jar is absent."""
+    if not iceberg_available(spark):
+        return False
+    spark.conf.set(f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+    return True
