@@ -86,9 +86,12 @@ def _synth_parquet(path: str) -> None:
 
     pdf, _ = generate_code_files(PIPELINE_FILES, seed=42)
     os.makedirs(path, exist_ok=True)
-    # many files → parallel scan (a single parquet under maxPartitionBytes
-    # reads as ONE task)
-    n_shards = max(len(pdf) // 2000, 1)
+    # many SMALL files → the content scan + hash stage parallelizes and
+    # load-balances at every leg (a single-row-group parquet is one task
+    # no matter how many cores; 500-row shards give the n-core legs many
+    # waves of short tasks).  A real 100 TB corpus is likewise
+    # many-part — this mirrors production layout, not a bench trick.
+    n_shards = max(len(pdf) // 500, 1)
     for i in range(n_shards):
         shard = pdf.iloc[i::n_shards]
         pq.write_table(
@@ -115,8 +118,18 @@ def run_pipeline(master_n: int, input_path: str) -> tuple[int, float]:
     df = load_code_files(spark, input_path)
     t0 = time.time()
     res = dedup_pipeline(df, CODE_CONFIG, store=None, with_substring_pass=True)
-    n = res.assignments.count()
-    _ = res.substring_pairs.count()
+    # ONE action for both outputs: the two sub-trees share nothing, so a
+    # crossJoin of their 1-row aggregates computes them in a single job —
+    # their tasks interleave across cores instead of paying two flat
+    # job tails back to back.
+    from pyspark.sql import functions as F
+
+    row = (
+        res.assignments.agg(F.count(F.lit(1)).alias("n_files"))
+        .crossJoin(res.substring_pairs.agg(F.count(F.lit(1)).alias("n_sub")))
+        .first()
+    )
+    n = row["n_files"]
     wall = time.time() - t0
     spark.stop()
     return n, wall
@@ -144,7 +157,7 @@ def run_pipeline_subprocess(master_n: int, input_path: str) -> tuple[int, float]
 
 
 def main() -> None:
-    synth_path = f"/tmp/cascade_bench_input_{PIPELINE_FILES}"
+    synth_path = f"/tmp/cascade_bench_input_{PIPELINE_FILES}_s500"
     _synth_parquet(synth_path)
 
     # -- part 1: pipeline at N and 4N on identical input, fresh process

@@ -86,10 +86,23 @@ def main(argv: list[str] | None = None) -> int:
         df, cfg, store=store, with_substring_pass=not args.no_substring_pass
     )
 
-    n_files = res.assignments.count()
-    n_clusters = res.assignments.select("cluster_id").distinct().count()
-    n_edges = res.edges.count()
-    n_substr = res.substring_pairs.count() if res.substring_pairs is not None else 0
+    # all report counts in ONE action (the assignments sub-tree is the
+    # expensive one; count + distinct-count share its single computation,
+    # and the edge/substring branches interleave in the same job instead
+    # of paying three more flat job tails)
+    from pyspark.sql import functions as F
+
+    stats = res.assignments.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).crossJoin(res.edges.agg(F.count(F.lit(1)).alias("n_edges")))
+    if res.substring_pairs is not None:
+        stats = stats.crossJoin(
+            res.substring_pairs.agg(F.count(F.lit(1)).alias("n_substr"))
+        )
+    row = stats.first()
+    n_files, n_clusters, n_edges = row["n_files"], row["n_clusters"], row["n_edges"]
+    n_substr = row["n_substr"] if res.substring_pairs is not None else 0
     wall = time.time() - t0
     if args.report:
         print(json.dumps({

@@ -117,6 +117,13 @@ def dedup_pipeline(
     src = code_files
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(heavy_par)
+    # Kept EAGER deliberately (measured, round 3): a lazy 00_input fuses
+    # into its two consumers and re-runs the content scan + sha/md5 pass
+    # twice; the scan is bounded by the source's split count, not by
+    # cores, so duplicating it regressed both walls and the N→4N ratio.
+    # The checkpoint itself is ~48 B/row — cheap.  What makes this stage
+    # scale is a well-split source (many parquet parts / row groups), not
+    # laziness.
     files = run(
         "00_input",
         lambda: add_content_hash(src, "content")

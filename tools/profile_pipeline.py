@@ -36,13 +36,18 @@ def run_one(n: int, input_path: str) -> None:
     res = dedup_pipeline(df, CODE_CONFIG, store=None, with_substring_pass=True,
                          stage_times=times)
     t1 = time.time()
-    n_assign = res.assignments.count()
+    # mirror bench.py: both outputs in ONE action
+    from pyspark.sql import functions as F
+
+    row = (
+        res.assignments.agg(F.count(F.lit(1)).alias("n_assign"))
+        .crossJoin(res.substring_pairs.agg(F.count(F.lit(1)).alias("n_sub")))
+        .first()
+    )
+    n_assign, n_sub = row["n_assign"], row["n_sub"]
     t2 = time.time()
-    n_sub = res.substring_pairs.count()
-    t3 = time.time()
-    times["09_count_assignments"] = t2 - t1
-    times["10_count_substring"] = t3 - t2
-    times["_total"] = t3 - t0
+    times["09_counts_one_action"] = t2 - t1
+    times["_total"] = t2 - t0
     times["_rows"] = {"assignments": n_assign, "substring_pairs": n_sub}
     print("PROFILE " + json.dumps({"n": n, "times": {k: (round(v, 2) if isinstance(v, float) else v) for k, v in times.items()}}))
     spark.stop()
@@ -54,7 +59,7 @@ def main() -> None:
     os.environ["CASCADE_BENCH_FILES"] = str(files)
     import bench
 
-    synth = f"/tmp/cascade_bench_input_{files}"
+    synth = f"/tmp/cascade_bench_input_{files}_s500"
     bench.PIPELINE_FILES = files
     bench._synth_parquet(synth)
     results = {}
