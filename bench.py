@@ -61,6 +61,13 @@ COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "60"))
 # plan.  Both pairs are reported in BENCH/BASELINE.md.
 SMALL_N = int(os.environ.get("CASCADE_BENCH_SMALL_N", "1"))
 BIG_N = int(os.environ.get("CASCADE_BENCH_BIG_N", "4"))
+# 10x scale-up leg (sf1-equivalent: 300k files vs the 30k scaling legs),
+# single parallelism level, run once: evidences the skew guards and the
+# hash-only working set where they matter — per-stage task-skew ratios,
+# peak shuffle bytes, and max single-task input recorded from the Spark
+# REST API.  Disable with CASCADE_BENCH_SF1_FILES=0.
+SF1_FILES = int(os.environ.get("CASCADE_BENCH_SF1_FILES", "300000"))
+SF1_N = int(os.environ.get("CASCADE_BENCH_SF1_N", "8"))
 
 HEADLINE = [
     "doc_near_dup_clusters",
@@ -73,7 +80,7 @@ HEADLINE = [
 ]
 
 
-def _synth_parquet(path: str) -> None:
+def _synth_parquet(path: str, n_files: int | None = None) -> None:
     """Materialize the synthetic code_files table once (datagen excluded
     from the timed pipeline)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -84,7 +91,7 @@ def _synth_parquet(path: str) -> None:
 
     from project_cascade_spark.datagen import generate_code_files
 
-    pdf, _ = generate_code_files(PIPELINE_FILES, seed=42)
+    pdf, _ = generate_code_files(n_files or PIPELINE_FILES, seed=42)
     os.makedirs(path, exist_ok=True)
     # many SMALL files → the content scan + hash stage parallelizes and
     # load-balances at every leg (a single-row-group parquet is one task
@@ -135,6 +142,105 @@ def run_pipeline(master_n: int, input_path: str) -> tuple[int, float]:
     return n, wall
 
 
+def stage_skew_report(spark) -> dict:
+    """Per-stage task-skew evidence from the Spark REST API of the LIVE
+    session (UI must be enabled): peak per-stage shuffle write, max
+    single-task input, and the worst max/median task-bytes ratio across
+    stages that moved real data (median task >= 1 MiB, >= 8 tasks —
+    smaller stages measure scheduling noise, not skew)."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+
+    def get(p):
+        with urllib.request.urlopen(base + p, timeout=60) as r:
+            return json.load(r)
+
+    peak_shuffle_write = 0
+    max_task_bytes = 0
+    worst = {"ratio": 0.0, "stage": None}
+    n_checked = 0
+    for st in get("/stages?status=complete"):
+        peak_shuffle_write = max(peak_shuffle_write, int(st.get("shuffleWriteBytes", 0) or 0))
+        if int(st.get("numCompleteTasks", 0) or 0) < 8:
+            continue
+        try:
+            q = get(f"/stages/{st['stageId']}/{st['attemptId']}"
+                    "/taskSummary?quantiles=0.0,0.5,1.0")
+        except Exception:
+            continue
+        inp = (q.get("inputMetrics") or {}).get("bytesRead", [0, 0, 0])
+        srd = (q.get("shuffleReadMetrics") or {}).get("readBytes", [0, 0, 0])
+        med = float(inp[1]) + float(srd[1])
+        mx = float(inp[2]) + float(srd[2])
+        max_task_bytes = max(max_task_bytes, int(mx))
+        if med >= 1 << 20:
+            n_checked += 1
+            ratio = mx / med
+            if ratio > worst["ratio"]:
+                worst = {
+                    "ratio": round(ratio, 2),
+                    "stage": (st.get("name") or "")[:80],
+                    "median_task_bytes": int(med),
+                    "max_task_bytes": int(mx),
+                }
+    return {
+        "peak_stage_shuffle_write_bytes": peak_shuffle_write,
+        "max_task_input_bytes": max_task_bytes,
+        "stages_checked_for_skew": n_checked,
+        "worst_stage_skew": worst,
+    }
+
+
+def run_pipeline_scale(master_n: int, input_path: str) -> tuple[int, float, dict]:
+    """One 10x-scale pipeline run with the UI enabled so the REST API can
+    report per-stage task skew (files, wall, skew report)."""
+    from pyspark.sql import functions as F
+
+    from project_cascade_spark.config import CODE_CONFIG
+    from project_cascade_spark.plans.pipeline import dedup_pipeline
+    from project_cascade_spark.session import build_session
+    from project_cascade_spark.sources.tables import load_code_files
+
+    spark = build_session(
+        f"cascade-sf1-n{master_n}", master=f"local[{master_n}]",
+        shuffle_partitions=max(4 * master_n, 16),
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    df = load_code_files(spark, input_path)
+    t0 = time.time()
+    res = dedup_pipeline(df, CODE_CONFIG, store=None, with_substring_pass=True)
+    row = (
+        res.assignments.agg(F.count(F.lit(1)).alias("n_files"))
+        .crossJoin(res.substring_pairs.agg(F.count(F.lit(1)).alias("n_sub")))
+        .first()
+    )
+    wall = time.time() - t0
+    report = stage_skew_report(spark)
+    spark.stop()
+    return row["n_files"], wall, report
+
+
+def run_pipeline_scale_subprocess(master_n: int, input_path: str) -> tuple[int, float, dict]:
+    import subprocess
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r); from bench import run_pipeline_scale; "
+        "n, w, rep = run_pipeline_scale(%d, %r); "
+        "print('RESULT_SF1', json.dumps({'n': n, 'wall': w, 'report': rep}))"
+        % (os.path.dirname(os.path.abspath(__file__)), master_n, input_path)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT_SF1 "):
+            rec = json.loads(line[len("RESULT_SF1 "):])
+            return rec["n"], rec["wall"], rec["report"]
+    raise RuntimeError(f"no RESULT_SF1 line: {out.stdout[-500:]}")
+
+
 def run_pipeline_subprocess(master_n: int, input_path: str) -> tuple[int, float]:
     """run_pipeline in a fresh process — a second SparkSession in the same
     JVM measures ~20% slow (leftover GC pressure + degraded code cache),
@@ -159,6 +265,10 @@ def run_pipeline_subprocess(master_n: int, input_path: str) -> tuple[int, float]
 def main() -> None:
     synth_path = f"/tmp/cascade_bench_input_{PIPELINE_FILES}_s500"
     _synth_parquet(synth_path)
+    sf1_path = None
+    if SF1_FILES:
+        sf1_path = f"/tmp/cascade_bench_input_{SF1_FILES}_s500"
+        _synth_parquet(sf1_path, SF1_FILES)
 
     # -- part 1: pipeline at N and 4N on identical input, fresh process
     # each.  Runs FIRST (freshest box) with legs INTERLEAVED (big, small,
@@ -180,6 +290,21 @@ def main() -> None:
     small_walls = [(n_files, w) for w in walls[SMALL_N]]
     wall_big = min(walls[BIG_N])
     wall_small = min(walls[SMALL_N])
+
+    # -- part 1b: the 10x scale leg (single level, one rep) — runs AFTER
+    # the scaling pair so its long burst can't throttle them, with its own
+    # cool-down first.
+    scale_10x = None
+    if sf1_path:
+        time.sleep(COOLDOWN_BIG_S)
+        sf1_n, sf1_wall, sf1_report = run_pipeline_scale_subprocess(SF1_N, sf1_path)
+        scale_10x = {
+            "files": sf1_n,
+            "cores": SF1_N,
+            "wall_s": round(sf1_wall, 2),
+            "files_per_sec": round(sf1_n / sf1_wall, 1),
+            **sf1_report,
+        }
 
     # -- part 2: headline queries at SF_DIR (32 threads; runs last so its
     # burst can't throttle the scaling legs).  Cool-down first: the scaling
@@ -210,6 +335,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "scale_10x": scale_10x,
         "pipeline": {
             "files": n_files,
             "wall_s_n%d" % SMALL_N: round(wall_small, 2),
