@@ -28,18 +28,22 @@ def jaccard_verify(
     cfg: CascadeConfig,
     keep_below: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs with jaccard >= cfg.jaccard_threshold.
+    """(id_a, id_b, *extra pair columns, jaccard) for pairs with
+    jaccard >= cfg.jaccard_threshold.  Any columns on `pairs` beyond the
+    two ids ride through unchanged (the pipeline tags candidates with
+    their blocking method and verifies all of them in ONE pass).
 
     Shingle arrays must already be distinct (word_shingles/char_shingles
     emit array_distinct output).
     """
     a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
-    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    extra = [c for c in pairs.columns if c not in ("id_a", "id_b")]
+    joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     scored = joined.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
+        "id_a", "id_b", *extra, (inter / union).alias("jaccard")
     )
     if keep_below:
         return scored

@@ -231,16 +231,34 @@ def dedup_pipeline(
     )
 
     def _edges() -> DataFrame:
-        lsh_verified = jaccard_verify(lsh_pairs, prepared, "file_id", "sh_hashes", cfg)
-        lsh_verified = lsh_verified.withColumn("method", F.lit("minhash_lsh"))
-        short_cfg = CascadeConfig(jaccard_threshold=SHORT_JACCARD)
-        short_verified = jaccard_verify(
-            short_pairs, prepared, "file_id", "sh_hashes", short_cfg
-        ).withColumn("method", F.lit("simhash"))
-        return (
-            lsh_verified.unionByName(short_verified)
+        # ONE verify pass for both blocking paths (round 3): the old layout
+        # verified LSH and SimHash candidates separately — four id-joins
+        # against `prepared` plus a post-union groupBy, all flat
+        # fixed-latency shuffle stages at bench scale.  Tagging candidates
+        # with their method first and verifying the union once halves the
+        # verify joins and drops the final groupBy (pairs are unique after
+        # the flag aggregation).  Semantics are identical: a pair keeps an
+        # edge iff its method's threshold passes, and a pair found by both
+        # paths reports 'minhash_lsh' exactly when the old min(method)
+        # would have (it survives the stricter τ there iff lsh_ok here).
+        cand = (
+            lsh_pairs.withColumn("m_lsh", F.lit(1)).withColumn("m_short", F.lit(0))
+            .unionByName(
+                short_pairs.withColumn("m_lsh", F.lit(0)).withColumn("m_short", F.lit(1))
+            )
             .groupBy("id_a", "id_b")
-            .agg(F.max("jaccard").alias("jaccard"), F.min("method").alias("method"))
+            .agg(F.max("m_lsh").alias("m_lsh"), F.max("m_short").alias("m_short"))
+        )
+        scored = jaccard_verify(
+            cand, prepared, "file_id", "sh_hashes", cfg, keep_below=True
+        )
+        lsh_ok = (F.col("m_lsh") == 1) & (F.col("jaccard") >= cfg.jaccard_threshold)
+        short_ok = (F.col("m_short") == 1) & (F.col("jaccard") >= SHORT_JACCARD)
+        return scored.filter(lsh_ok | short_ok).select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.when(lsh_ok, F.lit("minhash_lsh")).otherwise(F.lit("simhash")).alias("method"),
         )
 
     edges = run("05_edges", _edges)

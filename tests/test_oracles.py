@@ -48,13 +48,11 @@ def test_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-# approximate-by-design queries: rows-only check (documented in queries.py)
-NO_ORACLE = {"emb_ann_lsh"}
-
-
 def test_every_query_has_oracle():
+    # round 3: emb_ann_lsh gained an exact DuckDB twin (materialized SRP
+    # planes + identical bucket arithmetic), so EVERY query now has one.
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    assert set(os_) == set(qs) - NO_ORACLE, "every exact query needs an oracle twin"
+    assert set(os_) == set(qs), "every query needs an oracle twin"
 
 
 def test_entry_smoke(spark):
