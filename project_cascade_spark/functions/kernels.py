@@ -162,6 +162,45 @@ def make_winnow_udf(cfg: CascadeConfig):
     return winnow
 
 
+def make_winnow_pos_udf(cfg: CascadeConfig):
+    """pandas UDF: array<long> k-gram hashes → array<struct<fp,pos>> —
+    winnowing prints WITH the char offset of each selected k-gram (gram j
+    starts at char j: fast_kgram_hashes slides one char at a time).
+
+    Positions are what make MOSS-style anchored verification possible: for
+    any substring of length >= w+k-1 shared by two documents, every window
+    of w grams fully inside the shared region sees the same gram sequence
+    in both documents, so argmin picks the same gram at the same RELATIVE
+    offset — both sides emit an (fp, pos) anchor pair that is ALIGNED
+    inside the shared region.  Char-wise extension from that anchor then
+    recovers the exact maximal common substring (operators/suffix.py).
+    """
+    w = cfg.winnow_w
+
+    @pandas_udf("array<struct<fp: bigint, pos: int>>")
+    def winnow_pos(grams: pd.Series) -> pd.Series:
+        out = []
+        for xs in grams:
+            if xs is None or len(xs) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(xs, dtype=np.int64)
+            m = len(x)
+            if m <= w:
+                p = int(x.argmin())
+                out.append([{"fp": int(x[p]), "pos": p}])
+                continue
+            # argmin per window (first-min tie-break: deterministic and
+            # content-local, which is all the alignment guarantee needs),
+            # dedup'd by selected gram index
+            rel = np.lib.stride_tricks.sliding_window_view(x, w).argmin(axis=1)
+            pos = np.unique(rel + np.arange(m - w + 1))
+            out.append([{"fp": int(x[p]), "pos": int(p)} for p in pos])
+        return pd.Series(out)
+
+    return winnow_pos
+
+
 def apply_minhash(hashes_col: Column, cfg: CascadeConfig) -> Column:
     return make_minhash_udf(cfg)(hashes_col)
 

@@ -37,9 +37,9 @@ from ..operators.dedup import add_content_hash
 from ..operators.minhash_lsh import add_minhash, candidate_pairs
 from ..operators.simhash import add_simhash, simhash_candidate_pairs
 from ..operators.suffix import (
-    add_fingerprints,
-    fingerprint_candidate_pairs,
-    verify_long_substring,
+    add_fingerprints_pos,
+    fingerprint_anchor_pairs,
+    verify_long_substring_anchored,
 )
 from ..operators.verify import jaccard_verify
 from ..sources.sinks import StageStore
@@ -295,22 +295,30 @@ def dedup_pipeline(
     substring_pairs = None
     if with_substring_pass:
 
-        # persisted for the same self-join reason as the signatures
+        # persisted for the same self-join reason as the signatures.
+        # POSITIONAL prints (round 3): the non-positional path verified
+        # candidates with a per-pair gram-set LCS — ~300µs/pair of Python,
+        # which a 300k-file run turned into hours across 14.7M
+        # chance-collision candidates.  Anchored extension from (pos_a,
+        # pos_b) print alignments is exact and ~20x cheaper per pair.
+        # (Stage renamed from 08a_fingerprints: the output schema changed,
+        # and resume tokens validate input+config, not code — a stale
+        # same-named stage dir would otherwise be served.)
         fps = run(
-            "08a_fingerprints",
-            lambda: add_fingerprints(
-                prepared.select("file_id", "norm"), "norm", cfg, fast_hash=True
-            ).select("file_id", "fingerprints"),
+            "08a_fingerprints_pos",
+            lambda: add_fingerprints_pos(
+                prepared.select("file_id", "norm"), "norm", cfg
+            ).select("file_id", "fps_pos"),
         )
 
         def _substr() -> DataFrame:
-            cand = fingerprint_candidate_pairs(
-                fps, "file_id", "fingerprints", cfg, template_filter=True
+            cand = fingerprint_anchor_pairs(
+                fps, "file_id", "fps_pos", cfg, template_filter=True
             )
             # long-substring pairs that are ALSO near-dups are already edges;
             # the side output reports the rest (shared-block detection).
             fresh = cand.join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-            return verify_long_substring(fresh, prepared, "file_id", "norm", cfg)
+            return verify_long_substring_anchored(fresh, prepared, "file_id", "norm", cfg)
 
         substring_pairs = run("08_substring_pairs", _substr, persist=False)
 
