@@ -82,6 +82,116 @@ def add_srp_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    max_cell_size: int = 100_000,
+    cap_salts: int = 16,
+    cap_salt_expr=None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the cell-partitioned counterpart to
+    srp_lsh_topk.  Every vector is assigned to its nearest coarse centroid
+    (its CELL); each query probes its n_probe nearest cells and is scored
+    exactly against only the vectors in those cells — corpus-scan cost drops
+    by ~n_cells/n_probe versus brute force.
+
+    Centroids are the vectors with id < n_cells — a deterministic,
+    oracle-able coarse quantizer (production would k-means these; the
+    operator takes whatever centroid rule produced the first n_cells ids,
+    and the IVF machinery — assignment, probing, cell join — is identical
+    either way).  Centroids are collected once (n_cells is small by
+    construction) and unrolled as literal arrays, so assignment and probing
+    are pure codegen over the corpus scan: no UDF, no shuffle.
+
+    Scale shape:
+    - the cell equi-join carries IDS ONLY ((n_id, cell) vs exploded
+      (q_id, probe_cell)); vectors re-join once per side after the
+      candidate set is deduped — no shuffle moves a vector twice;
+    - cells are capped at max_cell_size via the SALTED cap window
+      (minhash_lsh.cap_bucket_rows) so a degenerate centroid that attracts
+      a huge cluster can neither go quadratic nor funnel the cap sort
+      through one task (north_rule skew salting);
+    - ties (equal cosine to two centroids) break toward the smaller cell
+      id, matching the oracle's ORDER BY cosine DESC, cid ASC.
+    """
+    cents = (
+        corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    # array<struct<cos,negcid>> sorted desc is (cosine desc, cid asc):
+    # struct comparison is lexicographic and -cid descending == cid ascending
+    scored_cells = F.array(*[
+        F.struct(
+            _cosine_to_lit(vec_col, [float(x) for x in row["cvec"]]).alias("cos"),
+            F.lit(-int(row["cid"])).alias("negcid"),
+        )
+        for row in cents
+    ])
+    ranked = F.reverse(F.array_sort(scored_cells))
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        (-F.element_at(ranked, 1)["negcid"]).alias("cell"),
+        F.slice(ranked, 1, n_probe).alias("_probe"),
+    )
+    cells = assigned.select("_id", "cell")
+    if max_cell_size:
+        from .minhash_lsh import cap_bucket_rows
+
+        cells = cap_bucket_rows(
+            cells, ["cell"], "_id", max_cell_size,
+            n_salts=cap_salts, salt=cap_salt_expr,
+        )
+    probes = (
+        assigned.select(F.col("_id").alias("q_id"), F.explode("_probe").alias("p"))
+        .select("q_id", (-F.col("p")["negcid"]).alias("cell"))
+    )
+    cand = (
+        probes.join(cells.select(F.col("_id").alias("n_id"), "cell"), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    qv = corpus.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        cand.join(qv, "q_id")
+        .join(nv, "n_id")
+        .select("q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _cosine_to_lit(vec_col: str, lit_vec: list):
+    """Cosine between a vector column and a literal python vector, with the
+    same fold order as _cosine / oracle._cosine_sql (sequential sum)."""
+    plane = F.array(*[F.lit(float(x)) for x in lit_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
+        F.lit(0.0), lambda a, z: a + z,
+    )
+    ncol = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, z: a + z * z))
+    # sequential-fold sum (NOT np.sum's pairwise summation) so the literal
+    # norm is bit-identical to the oracle's list_sum over the same centroid
+    sq = 0.0
+    for x in lit_vec:
+        sq += float(x) * float(x)
+    import math
+
+    return dot / (ncol * F.lit(math.sqrt(sq)))
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     id_col: str,

@@ -312,6 +312,45 @@ SELECT q_id, n_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def emb_ann_ivf_sql(k: int, dim: int, n_cells: int, n_probe: int) -> str:
+    """Exact DuckDB twin of operators/similarity.ivf_topk: centroids are the
+    vectors with vec_id < n_cells, every vector joins its argmax-cosine cell,
+    each query probes its n_probe best cells, candidates are scored exactly.
+    Both engines evaluate every cosine with the same sequential fold
+    (_cosine_sql ↔ F.aggregate / the operator's literal-norm loop), so cell
+    assignment, probe sets, candidates, and rankings are identical.  The cell
+    cap is a no-op at gate scale (corpus < max_cell_size), as for the SRP
+    oracle; the salted cap is covered by tests/test_bucket_cap.py."""
+    cos_qc = _cosine_sql("e.embedding", "c.cvec", dim)
+    cos = _cosine_sql("q.embedding", "n.embedding", dim)
+    return f"""WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {n_cells}),
+cellscore AS (
+    SELECT e.vec_id AS _id, c.cid, {cos_qc} AS cos
+    FROM embeddings e CROSS JOIN cents c),
+rankedcells AS (
+    SELECT _id, cid,
+           row_number() OVER (PARTITION BY _id ORDER BY cos DESC, cid) AS r
+    FROM cellscore),
+cells AS (SELECT _id, cid AS cell FROM rankedcells WHERE r = 1),
+probes AS (SELECT _id AS q_id, cid AS cell FROM rankedcells WHERE r <= {n_probe}),
+cand AS (
+    SELECT DISTINCT p.q_id, c._id AS n_id
+    FROM probes p JOIN cells c USING (cell)
+    WHERE p.q_id <> c._id),
+scored AS (
+    SELECT cd.q_id, cd.n_id, {cos} AS cosine
+    FROM cand cd JOIN embeddings q ON q.vec_id = cd.q_id
+                 JOIN embeddings n ON n.vec_id = cd.n_id),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+    FROM scored)
+SELECT q_id, n_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
 def emb_near_dup_sql(threshold: float, dim: int) -> str:
     cos = _cosine_sql("a.embedding", "b.embedding", dim)
     return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine

@@ -33,6 +33,8 @@ EMB_NEAR_DUP_T = 0.4  # data-driven: max pairwise cosine in testdata is ~0.51
 EMB_ANN_PLANES = 4    # SRP geometry shared by the Spark query and its oracle
 EMB_ANN_TABLES = 8
 EMB_ANN_SEED = 42
+EMB_IVF_CELLS = 16    # IVF geometry shared by the Spark query and its oracle
+EMB_IVF_PROBE = 4
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +195,24 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = srp_lsh_topk(
         emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
         n_planes=EMB_ANN_PLANES, n_tables=EMB_ANN_TABLES, seed=EMB_ANN_SEED,
+    )
+    return out.select(
+        "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-probed ANN: IVF with a deterministic coarse quantizer (centroids
+    = vec_id < n_cells).  Approximate vs brute force by design but fully
+    deterministic, so the DuckDB oracle (oracle.emb_ann_ivf_sql) reproduces
+    buckets, candidates, and rankings exactly.  Recall vs brute force is
+    bounded separately in tests/test_similarity.py."""
+    from .operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    out = ivf_topk(
+        emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
+        n_cells=EMB_IVF_CELLS, n_probe=EMB_IVF_PROBE,
     )
     return out.select(
         "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -473,6 +493,7 @@ def build_queries() -> dict:
         "emb_topk": emb_topk,
         "emb_near_dup": emb_near_dup,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_ivf": emb_ann_ivf,
         "match_stats": match_stats,
         "cluster_sizes_window": cluster_sizes_window,
         "distinct_on": distinct_on,
@@ -512,6 +533,9 @@ def build_oracles() -> dict:
         "emb_topk": o.emb_topk_sql(EMB_TOPK, EMB_QUERIES, EMB_DIM),
         "emb_ann_lsh": o.emb_ann_lsh_sql(
             EMB_TOPK, EMB_DIM, EMB_ANN_PLANES, EMB_ANN_TABLES, EMB_ANN_SEED
+        ),
+        "emb_ann_ivf": o.emb_ann_ivf_sql(
+            EMB_TOPK, EMB_DIM, EMB_IVF_CELLS, EMB_IVF_PROBE
         ),
         "emb_near_dup": o.emb_near_dup_sql(EMB_NEAR_DUP_T, EMB_DIM),
         "match_stats": o.match_stats_sql(),

@@ -39,3 +39,41 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     # case for SRP; 4 planes x 8 tables gives expected recall ~0.64
     assert len(a) > 0
     assert len(t & a) / len(t) >= 0.45
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    from project_cascade_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark).limit(200)
+    truth = brute_force_topk(emb, emb, "vec_id", "embedding", k=1).filter(
+        F.col("rank") == 1
+    )
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", dim=64, k=1, n_cells=8, n_probe=3
+    )
+    t = {(r["q_id"], r["n_id"]) for r in truth.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.filter(F.col("rank") == 1).collect()}
+    assert len(a) > 0
+    # probing 3/8 cells scans ~38% of the corpus; near-neighbors
+    # co-locate in cells far more often than random, so recall ≫ 0.38
+    assert len(t & a) / len(t) >= 0.5
+    # every query emits at most k rows, ranks are 1..k dense
+    byq = approx.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    ).collect()
+    assert all(r["n"] == r["mx"] for r in byq)
+
+
+def test_ivf_cells_capped(spark):
+    """A degenerate centroid that attracts everything must still be capped
+    by the salted window (no single-task sort of the hot cell)."""
+    from project_cascade_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark).limit(100)
+    out = ivf_topk(
+        emb, "vec_id", "embedding", dim=64, k=3, n_cells=2, n_probe=1,
+        max_cell_size=10,
+    )
+    # with cells capped at 10, no query can see more than ~10 candidates
+    mx = out.groupBy("q_id").count().agg(F.max("count")).first()[0]
+    assert mx <= 10
