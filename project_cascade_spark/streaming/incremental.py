@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType([
@@ -74,6 +75,85 @@ def streaming_dedup(
     watermark horizon are dropped; state self-evicts past the horizon."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+ASSIGN_OUT_SCHEMA = StructType([
+    StructField("file_id", LongType()),
+    StructField("content_hash", StringType()),
+    StructField("rep_id", LongType()),
+    StructField("is_dup", BooleanType()),
+    StructField("n_seen", LongType()),
+])
+ASSIGN_STATE_SCHEMA = StructType([
+    StructField("rep_id", LongType()),
+    StructField("n_seen", LongType()),
+])
+
+
+def incremental_dedup_assign(
+    files: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 2 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): incremental
+    exact-dedup ASSIGNMENT.  Where streaming_dedup drops duplicate rows,
+    this labels every arriving file with its content group's canonical
+    representative — the streaming twin of the batch pipeline's exact-dedup
+    stage (plans/pipeline.py), whose assignment table it reproduces
+    incrementally.
+
+    Per content_hash group state = (rep_id, n_seen): the representative is
+    the first-seen file (min file_id within its arrival microbatch, so a
+    closed input replayed with the same batch boundaries reproduces
+    identical assignments), and it persists across microbatches — a
+    duplicate arriving hours later still maps to the original rep without
+    reprocessing history.  State self-evicts via event-time timeout once a
+    group has been idle past the watermark horizon, so state size tracks the
+    active window, not the corpus (the 100 TB requirement).
+
+    Expects columns (file_id, content_hash, ts).  Output: one row per input
+    row with (rep_id, is_dup, n_seen-after-this-row).
+    """
+    import pandas as pd
+
+    def assign(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (content_hash,) = key
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("file_id")
+        if state.exists:
+            rep, n = state.get
+        else:
+            rep, n = int(rows["file_id"].min()), 0
+        seen_after = n + pd.RangeIndex(1, len(rows) + 1)
+        out = pd.DataFrame({
+            "file_id": rows["file_id"].astype("int64").values,
+            "content_hash": content_hash,
+            "rep_id": rep,
+            "is_dup": (rows["file_id"].astype("int64") != rep).values,
+            "n_seen": seen_after.astype("int64"),
+        })
+        n += len(rows)
+        state.update((int(rep), int(n)))
+        # evict once the group has been idle past the horizon: timeout fires
+        # when the WATERMARK (not wall clock) passes last-seen-ts + ttl
+        last_ts_ms = int(rows["ts"].max().timestamp() * 1000)
+        state.setTimeoutTimestamp(last_ts_ms + state_ttl_ms)
+        yield out
+
+    return (
+        files.withWatermark("ts", watermark)
+        .groupBy("content_hash")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=ASSIGN_OUT_SCHEMA,
+            stateStructType=ASSIGN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )
 
 

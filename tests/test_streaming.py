@@ -48,3 +48,127 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path, events_dir):
     n_unique = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_incremental_dedup_assign_stateful(spark, tmp_path):
+    """applyInPandasWithState: reps persist ACROSS microbatches — a dup
+    arriving in a later batch maps to the rep chosen in an earlier one."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from project_cascade_spark.streaming.incremental import (
+        incremental_dedup_assign,
+    )
+
+    d = tmp_path / "files_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    # batch 0: hashes A (ids 10, 11) and B (id 20)
+    # batch 1: hash A again (id 5 — SMALLER than the batch-0 rep) and C (30)
+    # batch 2: hash B again (id 21)
+    batches = [
+        pd.DataFrame({"file_id": [10, 11, 20], "content_hash": ["A", "A", "B"],
+                      "ts": [t0, t0, t0]}),
+        pd.DataFrame({"file_id": [5, 30], "content_hash": ["A", "C"],
+                      "ts": [t0 + pd.Timedelta("10min")] * 2}),
+        pd.DataFrame({"file_id": [21], "content_hash": ["B"],
+                      "ts": [t0 + pd.Timedelta("20min")]}),
+    ]
+    for i, pdf in enumerate(batches):
+        p = d / f"part-{i}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us")
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("file_id", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    out = incremental_dedup_assign(stream)
+    run_to_memory_sink(out, "assign_out", str(tmp_path / "ckpt2"))
+    time.sleep(0.5)
+    got = spark.table("assign_out").toPandas().sort_values("file_id")
+    assert len(got) == 6                     # every row labeled exactly once
+    by = {int(r.file_id): r for r in got.itertuples()}
+    # batch-0 rep for A is 10; id 5 arrives LATER so it is a dup of 10,
+    # proving state persisted across the microbatch boundary
+    assert by[10].rep_id == 10 and not by[10].is_dup
+    assert by[11].rep_id == 10 and by[11].is_dup
+    assert by[5].rep_id == 10 and by[5].is_dup
+    assert by[20].rep_id == 20 and not by[20].is_dup
+    assert by[21].rep_id == 20 and by[21].is_dup   # across batches too
+    assert by[30].rep_id == 30 and not by[30].is_dup
+    # n_seen is cumulative per group
+    assert by[5].n_seen == 3 and by[21].n_seen == 2
+
+
+def test_incremental_dedup_assign_state_evicts(spark, tmp_path):
+    """Event-time timeout: a group idle past watermark+ttl is evicted, so a
+    far-later duplicate starts a fresh group (state is bounded by the
+    active window, not corpus size)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from project_cascade_spark.streaming.incremental import (
+        incremental_dedup_assign,
+    )
+
+    d = tmp_path / "files_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    late = pd.Timestamp("2026-01-01 20:00:00")   # >> t0 + watermark + ttl
+    batches = [
+        # batch 0 seeds A; batch 1 advances event time far past A's timeout
+        # (watermark lags one batch); batch 2 has no A data, so A's timer
+        # fires and its state is removed; batch 3 re-sees A
+        pd.DataFrame({"file_id": [10], "content_hash": ["A"], "ts": [t0]}),
+        pd.DataFrame({"file_id": [30], "content_hash": ["C"], "ts": [late]}),
+        pd.DataFrame({"file_id": [31], "content_hash": ["D"],
+                      "ts": [late + pd.Timedelta("5min")]}),
+        pd.DataFrame({"file_id": [50], "content_hash": ["A"],
+                      "ts": [late + pd.Timedelta("10min")]}),
+    ]
+    for i, pdf in enumerate(batches):
+        p = d / f"part-{i}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us")
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("file_id", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    out = incremental_dedup_assign(stream, watermark="1 hour",
+                                   state_ttl_ms=3600 * 1000)
+    run_to_memory_sink(out, "assign_evict", str(tmp_path / "ckpt3"))
+    time.sleep(0.5)
+    got = spark.table("assign_evict").toPandas()
+    by = {int(r.file_id): r for r in got.itertuples()}
+    assert by[10].rep_id == 10 and not by[10].is_dup
+    # state for A was evicted before id 50 arrived → fresh group, fresh rep
+    assert by[50].rep_id == 50 and not by[50].is_dup
+    assert by[50].n_seen == 1
