@@ -36,10 +36,17 @@ def jaccard_verify(
     Shingle arrays must already be distinct (word_shingles/char_shingles
     emit array_distinct output).
     """
+    # SHUFFLE_HASH pinned on the array side: at corpus scale neither the
+    # pair set nor the shingle arrays are broadcastable, and letting AQE
+    # broadcast the intermediate (pairs ⋈ sh_a, arrays attached) funnels a
+    # single-partition build task (~11 s serial at 30k files, measured) —
+    # the shuffled plan runs the same join fully parallel.
     a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
     extra = [c for c in pairs.columns if c not in ("id_a", "id_b")]
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    joined = pairs.join(a.hint("shuffle_hash"), "id_a").join(
+        b.hint("shuffle_hash"), "id_b"
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     scored = joined.select(
