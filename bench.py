@@ -74,6 +74,7 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "emb_topk",
+    "emb_ann_ivf",
     "match_stats",
     "cluster_sizes_window",
     "events_windowed_agg",

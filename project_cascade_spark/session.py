@@ -26,6 +26,14 @@ def build_session(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # one Spark task == one core: pin BLAS/OMP pools in the Python workers
+    # (spawned from this process, so they inherit these).  An unpinned
+    # numpy could fan a single task's matmul over every idle core — free
+    # speed at low parallelism, contention at high — which both
+    # oversubscribes real clusters and corrupts N→4N scaling measurements.
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     # shuffle partitions ~ parallelism: avoids tiny-partition overhead at
     # local scale; on a real cluster you'd set 2-3x total cores and let AQE
     # coalesce down.
