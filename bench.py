@@ -292,26 +292,13 @@ def main() -> None:
     wall_big = min(walls[BIG_N])
     wall_small = min(walls[SMALL_N])
 
-    # -- part 1b: the 10x scale leg (single level, one rep) — runs AFTER
-    # the scaling pair so its long burst can't throttle them, with its own
-    # cool-down first.
-    scale_10x = None
-    if sf1_path:
-        time.sleep(COOLDOWN_BIG_S)
-        sf1_n, sf1_wall, sf1_report = run_pipeline_scale_subprocess(SF1_N, sf1_path)
-        scale_10x = {
-            "files": sf1_n,
-            "cores": SF1_N,
-            "wall_s": round(sf1_wall, 2),
-            "files_per_sec": round(sf1_n / sf1_wall, 1),
-            **sf1_report,
-        }
-
-    # -- part 2: headline queries at SF_DIR (32 threads; runs last so its
-    # burst can't throttle the scaling legs).  Cool-down first: the scaling
-    # legs just ran a sustained burst, and query walls measured on a
+    # -- part 2: headline queries at SF_DIR (32 threads).  BEFORE the 10x
+    # leg: its ~12-minute 8-core burst throttles the box harder than one
+    # cool-down recovers (r3 measured doc_near_dup_clusters 31.9 s
+    # post-burst vs 14.6 s rested), and query walls measured on a
     # throttled box are not comparable across rounds (the r2 emb_topk
-    # "regression" was exactly this artifact).
+    # "regression" was the same artifact).  Cool-down first — the scaling
+    # pair just ran.
     time.sleep(COOLDOWN_BIG_S)
     from project_cascade_spark.session import build_session
 
@@ -325,6 +312,24 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
+
+    # -- part 1b: the 10x scale leg (single level, one rep) — runs LAST:
+    # nothing timed follows it, so its long burst can throttle nothing.
+    # Its own wall absorbs any residual drift from the short query suite
+    # (mild inflation acceptable — this leg's purpose is the skew ledger
+    # and data-size linearity, not a cross-round wall).
+    scale_10x = None
+    if sf1_path:
+        time.sleep(COOLDOWN_BIG_S)
+        sf1_n, sf1_wall, sf1_report = run_pipeline_scale_subprocess(SF1_N, sf1_path)
+        scale_10x = {
+            "files": sf1_n,
+            "cores": SF1_N,
+            "wall_s": round(sf1_wall, 2),
+            "files_per_sec": round(sf1_n / sf1_wall, 1),
+            **sf1_report,
+        }
+
     tp_small = n_files / wall_small
     tp_big = n_files / wall_big
     eff = tp_big / ((BIG_N / SMALL_N) * tp_small)
