@@ -124,17 +124,24 @@ def ivf_topk(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
+    # the query norm is hoisted to ONE column: inside each per-centroid
+    # struct it would be re-folded n_cells times (higher-order functions run
+    # interpreted, no CSE across struct fields) — same expression, same
+    # bits, 1/3 of the assignment cost at n_cells=16
+    qn = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, z: a + z * z))
+    with_qn = corpus.withColumn("_qn", qn)
     # array<struct<cos,negcid>> sorted desc is (cosine desc, cid asc):
     # struct comparison is lexicographic and -cid descending == cid ascending
     scored_cells = F.array(*[
         F.struct(
-            _cosine_to_lit(vec_col, [float(x) for x in row["cvec"]]).alias("cos"),
+            _cosine_to_lit(vec_col, [float(x) for x in row["cvec"]],
+                           norm_col="_qn").alias("cos"),
             F.lit(-int(row["cid"])).alias("negcid"),
         )
         for row in cents
     ])
     ranked = F.reverse(F.array_sort(scored_cells))
-    assigned = corpus.select(
+    assigned = with_qn.select(
         F.col(id_col).alias("_id"),
         (-F.element_at(ranked, 1)["negcid"]).alias("cell"),
         F.slice(ranked, 1, n_probe).alias("_probe"),
@@ -172,15 +179,17 @@ def ivf_topk(
     )
 
 
-def _cosine_to_lit(vec_col: str, lit_vec: list):
+def _cosine_to_lit(vec_col: str, lit_vec: list, norm_col: str | None = None):
     """Cosine between a vector column and a literal python vector, with the
-    same fold order as _cosine / oracle._cosine_sql (sequential sum)."""
+    same fold order as _cosine / oracle._cosine_sql (sequential sum).
+    norm_col names a pre-computed column holding this row's vector norm
+    (identical expression, hoisted by the caller to avoid re-folding it)."""
     plane = F.array(*[F.lit(float(x)) for x in lit_vec])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
         F.lit(0.0), lambda a, z: a + z,
     )
-    ncol = F.sqrt(F.aggregate(
+    ncol = F.col(norm_col) if norm_col else F.sqrt(F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, z: a + z * z))
     # sequential-fold sum (NOT np.sum's pairwise summation) so the literal
     # norm is bit-identical to the oracle's list_sum over the same centroid
