@@ -27,6 +27,7 @@ def jaccard_verify(
     shingles_col: str,
     cfg: CascadeConfig,
     keep_below: bool = False,
+    docs_b: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, *extra pair columns, jaccard) for pairs with
     jaccard >= cfg.jaccard_threshold.  Any columns on `pairs` beyond the
@@ -35,6 +36,11 @@ def jaccard_verify(
 
     Shingle arrays must already be distinct (word_shingles/char_shingles
     emit array_distinct output).
+
+    docs_b: feature table for the id_b side when verifying TWO-TABLE
+    linkage candidates (id spaces may overlap across tables, so each side
+    must resolve against its own table); default is self-dedup (both
+    sides from `docs`).
     """
     # SHUFFLE_HASH pinned on the array side: at corpus scale neither the
     # pair set nor the shingle arrays are broadcastable, and letting AQE
@@ -42,7 +48,9 @@ def jaccard_verify(
     # single-partition build task (~11 s serial at 30k files, measured) —
     # the shuffled plan runs the same join fully parallel.
     a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
+    b = (docs_b if docs_b is not None else docs).select(
+        F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b")
+    )
     extra = [c for c in pairs.columns if c not in ("id_a", "id_b")]
     joined = pairs.join(a.hint("shuffle_hash"), "id_a").join(
         b.hint("shuffle_hash"), "id_b"

@@ -323,3 +323,63 @@ def dedup_pipeline(
         substring_pairs = run("08_substring_pairs", _substr, persist=False)
 
     return PipelineResult(assignments, edges, substring_pairs)
+
+
+def link_tables(
+    source: DataFrame,
+    registry: DataFrame,
+    cfg: CascadeConfig,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """Two-table linkage: match SOURCE files against a canonical REGISTRY —
+    the reference's primary csvlink entry (data_matching.py:146-198,
+    settings.py:37-38), of which self-dedup is the left == right special
+    case.  Output: (source_id, registry_id, jaccard), one row per verified
+    cross-table match.
+
+    Same scale shape as the self-dedup pipeline: per-side normalize +
+    shingle + minhash in one per-row-parallel stage, cross-table band
+    collisions only (candidate_pairs_linkage — salted caps apply per
+    side), verify via the pinned shuffled Jaccard joins with each side
+    resolving features against its OWN table (id spaces may overlap).
+    """
+    from ..functions.hashing import fast_shingle_hashes
+    from ..operators.minhash_lsh import candidate_pairs_linkage
+
+    def prep(df: DataFrame) -> DataFrame:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        base = df.select("file_id", "content").repartition(
+            max(4 * par, 16), "file_id"
+        )
+        base = base.withColumn("norm", normalize_code(F.col("content")))
+        sh = base.withColumn(
+            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
+        ).withColumn(
+            "sh_hashes",
+            F.array_distinct(fast_shingle_hashes(F.col("shingles"))).cast("array<int>"),
+        ).withColumn("n_shingles", F.size("sh_hashes"))
+        if use_kernel:
+            from ..functions.kernels import apply_minhash
+
+            sig = apply_minhash(F.col("sh_hashes"), cfg)
+        else:
+            from ..functions.hashing import minhash_expr
+
+            sig = minhash_expr(F.col("sh_hashes"), cfg)
+        return sh.select("file_id", "sh_hashes", "n_shingles").withColumn(
+            "minhash", sig
+        ).localCheckpoint(eager=True)
+
+    src_p, reg_p = prep(source), prep(registry)
+    cand = candidate_pairs_linkage(
+        src_p, reg_p, "file_id", "minhash", cfg,
+        cap_buckets=True, size_col="n_shingles",
+    )
+    ver = jaccard_verify(
+        cand, src_p, "file_id", "sh_hashes", cfg, docs_b=reg_p
+    )
+    return ver.select(
+        F.col("id_a").alias("source_id"),
+        F.col("id_b").alias("registry_id"),
+        "jaccard",
+    )

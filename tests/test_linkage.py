@@ -4,6 +4,8 @@ within-table dups NOT paired."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -96,3 +98,49 @@ def test_linkage_respects_size_prefilter_and_cap(linkage_frames):
     # ratio prefilter; identical content shares every band)
     pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     assert (1, 101) in pairs
+
+
+def test_link_tables_end_to_end(spark):
+    """Full source-vs-registry surface (plans.link_tables): planted
+    cross-table near-dups are matched; ids may overlap across tables."""
+    import pandas as pd
+
+    from project_cascade_spark.config import CODE_CONFIG
+    from project_cascade_spark.datagen import generate_code_files
+    from project_cascade_spark.plans.pipeline import link_tables
+    from project_cascade_spark.sources.tables import load_code_files
+
+    pdf, _ = generate_code_files(300, seed=7)
+    # registry = every file; source = a 50-file slice of the SAME corpus
+    # (identical content ⇒ every source file must match its registry twin)
+    reg = load_code_files(spark, pdf)
+    src = load_code_files(spark, pdf.iloc[:50].copy())
+    out = link_tables(src, reg, CODE_CONFIG).toPandas()
+    src_ids = set(
+        load_code_files(spark, pdf.iloc[:50].copy())
+        .select("file_id").toPandas()["file_id"]
+    )
+    # every source file finds at least its identical registry twin
+    matched_sources = set(out["source_id"])
+    assert src_ids <= matched_sources
+    # identical pairs verify at jaccard 1.0
+    self_pairs = out[out["source_id"] == out["registry_id"]]
+    assert len(self_pairs) == 50
+    assert (self_pairs["jaccard"] == 1.0).all()
+
+
+def test_link_job_cli(tmp_path):
+    """The spark-submit surface: link synth source vs synth registry."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "project_cascade_spark.jobs.link_job",
+         "--source", "synth:60:7", "--registry", "synth:60:7",
+         "--master", "local[4]", "--report"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    # identical synth corpora: every file matches itself, so matches >= 60
+    assert rep["matches"] >= 60
