@@ -166,9 +166,10 @@ def candidate_pairs_linkage(
     an id_a < id_b ordering: every left band row meets every right band row
     in its bucket exactly once (dedup on the pair).  The salted bucket cap
     and the lossless size-ratio prefilter apply per side, as in the
-    self-join.  Verification is the caller's step (jaccard_verify over a
-    frame containing both sides' features — ids must be globally unique
-    across the two tables, as with any linkage key space).
+    self-join.  Verification is the caller's step: jaccard_verify with
+    docs_b= resolves each side against its own feature table, so the two
+    tables' id spaces may overlap freely (plans/pipeline.link_tables wires
+    this up).
     """
     def bands_of(df: DataFrame, out_id: str, out_size: str | None) -> DataFrame:
         cols = [

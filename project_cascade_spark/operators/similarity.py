@@ -146,6 +146,9 @@ def ivf_topk(
         (-F.element_at(ranked, 1)["negcid"]).alias("cell"),
         F.slice(ranked, 1, n_probe).alias("_probe"),
     )
+    # the assignment scan (n_cells cosine folds per row) feeds BOTH the
+    # cells and probes branches — persist so it is computed once per action
+    assigned = assigned.persist()
     cells = assigned.select("_id", "cell")
     if max_cell_size:
         from .minhash_lsh import cap_bucket_rows

@@ -47,6 +47,15 @@ def jaccard_verify(
     # broadcast the intermediate (pairs ⋈ sh_a, arrays attached) funnels a
     # single-partition build task (~11 s serial at 30k files, measured) —
     # the shuffled plan runs the same join fully parallel.
+    #
+    # Build-memory caveat: a shuffled hash join builds its per-partition
+    # hash map in memory and CANNOT spill it, so the docs side must fit
+    # |docs arrays| / shuffle_partitions per task.  That is the operating
+    # envelope here (shuffle partitions scale with cluster size, and the
+    # capped candidate set bounds how many distinct ids reach the build),
+    # but on a corpus where per-partition arrays outgrow executor memory,
+    # swap the hint for "merge" (sort-merge spills) — same shuffled,
+    # no-serial-broadcast plan shape, just spillable.
     a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
     b = (docs_b if docs_b is not None else docs).select(
         F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b")

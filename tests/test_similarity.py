@@ -70,10 +70,13 @@ def test_ivf_cells_capped(spark):
     from project_cascade_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark).limit(100)
+    # k LARGER than max_cell_size, so the per-query row count reflects the
+    # candidate set, not the rank<=k filter: with the cap broken a probed
+    # cell holds up to ~99 rows and queries would emit up to 50 — the
+    # assertion can actually fail (round-3 advice: k=3 made it vacuous)
     out = ivf_topk(
-        emb, "vec_id", "embedding", dim=64, k=3, n_cells=2, n_probe=1,
+        emb, "vec_id", "embedding", dim=64, k=50, n_cells=2, n_probe=1,
         max_cell_size=10,
     )
-    # with cells capped at 10, no query can see more than ~10 candidates
     mx = out.groupBy("q_id").count().agg(F.max("count")).first()[0]
     assert mx <= 10
