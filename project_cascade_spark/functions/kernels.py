@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..config import MERSENNE31, CascadeConfig
@@ -199,6 +200,213 @@ def make_winnow_pos_udf(cfg: CascadeConfig):
         return pd.Series(out)
 
     return winnow_pos
+
+
+# ---------------------------------------------------------------------------
+# Embedding kernels — the scale path for the ANN scorers.
+#
+# The expression twins in operators/similarity.py (zip_with/aggregate folds)
+# run INTERPRETED in Catalyst: higher-order-function lambdas are evaluated
+# per element with no common-subexpression elimination, which at dim 768-1536
+# makes per-row scoring the CPU bottleneck (round-3 verdict: "the last
+# scale-killer").  These kernels do the same arithmetic as vectorized numpy
+# over Arrow batches, BIT-IDENTICAL to the expression form: np.cumsum is a
+# running sum, i.e. exactly the sequential left fold F.aggregate evaluates
+# (((x0*y0)+x1*y1)+...), so dots, norms, cosines — and therefore SRP bucket
+# signs, IVF cell assignments, and rankings — match the expression path to
+# the last bit (tests/test_kernels_parity.py pins this).
+#
+# Transport is mapInArrow, NOT pandas_udf: a list<double> column reaches a
+# pandas UDF as a Series of per-row numpy objects, and re-stacking them is a
+# Python loop that costs MORE than the interpreted fold it replaces
+# (profiled: 12.3 s pandas-UDF vs 8.2 s HOF on 561k dim-768 pairs).  A
+# mapInArrow RecordBatch instead exposes the whole column as ONE contiguous
+# Arrow buffer — np.frombuffer + reshape, zero per-row Python work.
+# ---------------------------------------------------------------------------
+
+
+def _seqfold_dots(X: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """(n, d) @ (m, d)^T with sequential-fold summation order.
+
+    NOT a BLAS matmul: BLAS reorders/FMA-fuses the additions, np.add.reduce
+    sums pairwise — both change low-order bits.  Products here are IEEE-exact
+    (same two doubles multiplied), then cumsum accumulates them left to
+    right, matching F.aggregate / DuckDB list_sum.  Chunked so the (c, m, d)
+    product tensor stays ~32 MB regardless of batch size.
+    """
+    n, d = X.shape
+    m = M.shape[0]
+    out = np.empty((n, m), dtype=np.float64)
+    chunk = max(1, 4_000_000 // max(m * d, 1))
+    MT = np.ascontiguousarray(M, dtype=np.float64)[None, :, :]
+    for i in range(0, n, chunk):
+        P = X[i : i + chunk, None, :] * MT
+        np.cumsum(P, axis=2, out=P)
+        out[i : i + chunk] = P[:, :, -1]
+    return out
+
+
+def _seqfold_self_dots(X: np.ndarray) -> np.ndarray:
+    """Row-wise sequential-fold sum of squares (for norms)."""
+    P = X * X
+    np.cumsum(P, axis=1, out=P)
+    return P[:, -1]
+
+
+def _list_col_matrix(arr, dim: int | None) -> np.ndarray:
+    """Zero-copy (rows, dim) float64 view of an Arrow list<double> column.
+
+    arr.flatten() resolves list offsets (sliced batches included) into one
+    contiguous values buffer; reshape is free.  dim=None infers it from the
+    batch.  Callers guarantee no nulls and fixed dim (embedding columns) —
+    enforced here because silently mis-reshaping would corrupt every
+    downstream score.
+    """
+    import pyarrow as pa  # local import: kernels must load without arrow
+
+    if arr.null_count:
+        raise ValueError("embedding column contains nulls on the kernel path")
+    flat = arr.flatten()
+    if dim is None:
+        if len(flat) % max(len(arr), 1):
+            raise ValueError("ragged embedding column (cannot infer dim)")
+        dim = len(flat) // max(len(arr), 1)
+    if len(flat) != len(arr) * dim:
+        raise ValueError(f"ragged embedding column (expected dim {dim})")
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return np.asarray(flat, dtype=np.float64).reshape(len(arr), dim)
+
+
+def score_pairs_arrow(
+    joined, dim: int | None = None, out_col: str = "cosine"
+):
+    """(q_id, n_id, q_vec, n_vec) DataFrame → (q_id, n_id, cosine) via one
+    zero-copy Arrow pass — the kernel twin of per-pair _cosine folds.
+
+    mapInArrow, not a pandas UDF: per-pair object conversion would cost
+    more than the fold it replaces (module docstring has the numbers).
+    """
+    import pyarrow as pa
+
+    def score(batches):
+        for b in batches:
+            q_id, n_id = b.column("q_id"), b.column("n_id")
+            if b.num_rows == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [q_id, n_id, pa.array([], type=pa.float64())],
+                    ["q_id", "n_id", out_col],
+                )
+                continue
+            A = _list_col_matrix(b.column("q_vec"), dim)
+            B = _list_col_matrix(b.column("n_vec"), dim)
+            P = A * B
+            np.cumsum(P, axis=1, out=P)
+            dot = P[:, -1].copy()
+            na = np.sqrt(_seqfold_self_dots(A))
+            nb = np.sqrt(_seqfold_self_dots(B))
+            yield pa.RecordBatch.from_arrays(
+                [q_id, n_id, pa.array(dot / (na * nb), type=pa.float64())],
+                ["q_id", "n_id", out_col],
+            )
+
+    return joined.select("q_id", "n_id", "q_vec", "n_vec").mapInArrow(
+        score, f"q_id long, n_id long, {out_col} double"
+    )
+
+
+def srp_buckets_arrow(df, id_col: str, vec_col: str, planes_by_table: np.ndarray):
+    """(id, vec) DataFrame → (_id, srp_table, srp_bucket), ALL hash tables
+    in ONE zero-copy corpus scan (the expression path scans once per table
+    and unions).
+
+    planes_by_table: (n_tables, n_planes, dim).  Bit j of table t's bucket
+    is set iff seqfold-dot(vec, plane[t, j]) >= 0 — the same sign test as
+    add_srp_buckets, on a bit-identical dot.
+    """
+    import pyarrow as pa
+
+    n_tables, n_planes, dim = planes_by_table.shape
+    flat = planes_by_table.reshape(n_tables * n_planes, dim).astype(np.float64)
+    shifts = np.arange(n_planes, dtype=np.int64)
+    tables = np.arange(n_tables, dtype=np.int64)
+
+    def bucketize(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = _list_col_matrix(b.column(vec_col), dim)
+            dots = _seqfold_dots(X, flat).reshape(n, n_tables, n_planes)
+            buckets = ((dots >= 0).astype(np.int64) << shifts[None, None, :]).sum(axis=2)
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_tables)),
+                    pa.array(np.tile(tables, n)),
+                    pa.array(buckets.reshape(-1)),
+                ],
+                ["_id", "srp_table", "srp_bucket"],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), vec_col).mapInArrow(
+        bucketize, "_id long, srp_table long, srp_bucket long"
+    )
+
+
+def ivf_assign_arrow(
+    df, id_col: str, vec_col: str,
+    cids: np.ndarray, cvecs: np.ndarray, n_probe: int,
+):
+    """(id, vec) DataFrame → (_id, cell, probes) — the IVF coarse-assignment
+    twin of ivf_topk's literal-centroid expression, one zero-copy pass.
+
+    Cosine = seqfold-dot / (seqfold row norm * python-seqfold centroid
+    norm); ranking is (cosine desc, cid asc) via lexsort, the same
+    tie-break as the expression's reversed array_sort over (cos, -cid)
+    structs.
+    """
+    import pyarrow as pa
+
+    cids = np.asarray(cids, dtype=np.int64)
+    C = np.asarray(cvecs, dtype=np.float64)
+    # centroid norms with the same python-sequential fold as _cosine_to_lit
+    cn = np.empty(C.shape[0], dtype=np.float64)
+    for j in range(C.shape[0]):
+        sq = 0.0
+        for x in C[j]:
+            sq += float(x) * float(x)
+        cn[j] = np.sqrt(sq)
+    dim = C.shape[1]
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = _list_col_matrix(b.column(vec_col), dim)
+            qn = np.sqrt(_seqfold_self_dots(X))
+            cos = _seqfold_dots(X, C) / (qn[:, None] * cn[None, :])
+            order = np.lexsort(
+                (np.broadcast_to(cids, cos.shape), -cos), axis=-1
+            )[:, :n_probe]
+            probes = cids[order]
+            offsets = np.arange(0, (n + 1) * n_probe, n_probe, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pa.array(probes[:, 0]),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(probes.reshape(-1)),
+                    ),
+                ],
+                ["_id", "cell", "_probes"],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), vec_col).mapInArrow(
+        assign, "_id long, cell bigint, _probes array<bigint>"
+    )
 
 
 def apply_minhash(hashes_col: Column, cfg: CascadeConfig) -> Column:

@@ -26,25 +26,91 @@ def _cosine(va: str, vb: str):
     return dot / (n(va) * n(vb))
 
 
+def _vec_norm(vec_col: str):
+    """Sequential-fold L2 norm — the same expression _cosine folds inline;
+    hoisting it to the corpus scan computes it once per VECTOR instead of
+    once per PAIR (the dot is the only per-pair fold left: ~3x less scoring
+    work, bitwise-identical cosines)."""
+    return F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, z: a + z * z))
+
+
+def _score_joined(
+    joined: DataFrame, score_with_arrow: bool, dim: int | None = None
+) -> DataFrame:
+    """(q_id, n_id, q_vec, n_vec, _qn, _nn) → (q_id, n_id, cosine).
+
+    Default is the Catalyst dot fold over pre-hoisted norms — measured
+    FASTER than Arrow for per-pair scoring, because each pair must move two
+    full vectors JVM→Arrow and that conversion costs more than Spark 4's
+    fold evaluates them (~10 ns/element transfer vs ~6 ns/element fold;
+    bench.ann_kernel_bench carries the receipts).  score_with_arrow=True
+    switches to the zero-copy kernel (bit-identical; wins only when Python
+    must touch the pairs anyway)."""
+    if score_with_arrow:
+        from ..functions.kernels import score_pairs_arrow
+
+        return score_pairs_arrow(joined, dim)
+    dot = F.aggregate(
+        F.zip_with("q_vec", "n_vec", lambda x, y: x * y),
+        F.lit(0.0), lambda a, z: a + z,
+    )
+    return joined.select(
+        "q_id", "n_id", (dot / (F.col("_qn") * F.col("_nn"))).alias("cosine")
+    )
+
+
+def _scoring_sides(corpus: DataFrame, id_col: str, vec_col: str):
+    """(qv, nv) projections with hoisted norms for _score_joined."""
+    qv = corpus.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        _vec_norm(vec_col).alias("_qn"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        _vec_norm(vec_col).alias("_nn"),
+    )
+    return qv, nv
+
+
+def _parallelism_floor(df: DataFrame, per_core: int = 4) -> DataFrame:
+    """Repartition an IDS-ONLY frame so the compute-heavy stage that follows
+    (vector join + per-pair scoring) runs wide.  AQE coalesces the candidate
+    shuffle by BYTES, and an ids-only pair set is tiny — measured: 561k
+    dim-768 scorings coalesced onto 4 tasks, a 23 s straggler on a 37 s
+    query.  The repartition shuffles only (q_id, n_id) longs, so its cost is
+    noise next to the scoring it spreads out."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(per_core * par, 16))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
+    use_kernel: bool = False,
 ) -> DataFrame:
     """For each query vector, exact top-k corpus neighbors by cosine.
 
     queries is broadcast (the small side by construction); the window
     partitions by query id so the top-k never leaves the executor that
-    scored the pair.
+    scored the pair.  Norms are hoisted to the two scans (once per vector,
+    not once per pair); use_kernel routes scoring through the zero-copy
+    Arrow kernel instead of the expression fold (same bits either way).
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+            _vec_norm(vec_col).alias("_qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id")).select(
-        "q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine")
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        _vec_norm(vec_col).alias("_nn"),
+    )
+    scored = _score_joined(
+        q.crossJoin(c).filter(F.col("q_id") != F.col("n_id")), use_kernel
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
@@ -82,6 +148,53 @@ def add_srp_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, n_cells: int, n_iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer for IVF.
+
+    sample: (n, dim) float64 vectors in a DETERMINISTIC order (callers pass
+    the n_sample smallest ids, sorted) — the whole procedure is then a pure
+    function of the data, so the DuckDB oracle generator reproduces the
+    exact same centroids by running this same function on the same sample
+    (oracle.emb_ann_ivf_sql embeds them as literals, the same move as the
+    SRP hyperplanes).
+
+    Init is deterministic farthest-point (greedy k-means++ without the
+    randomness): start from sample[0], repeatedly add the sample vector
+    whose best cosine to the already-chosen centroids is LOWEST — spreads
+    the init across the data's modes even when the low-id sample rows all
+    come from one cluster (where a first-k init would collapse).  Each
+    iteration then assigns every sample vector to its max-cosine centroid
+    (argmax takes the FIRST max, i.e. ties break toward the smaller cell
+    id — the query-time rule) and re-estimates each centroid as the
+    unit-normalized member mean; an empty cell keeps its previous centroid.
+    Everything is plain numpy on the same array on both sides, so results
+    are bit-identical regardless of numpy's internal summation order.
+    """
+    S = np.asarray(sample, dtype=np.float64)
+    n_cells = min(n_cells, S.shape[0])
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    chosen = [0]
+    best_cos = (Sn @ Sn[0]).copy()
+    for _ in range(n_cells - 1):
+        nxt = int(np.argmin(best_cos))
+        chosen.append(nxt)
+        np.maximum(best_cos, Sn @ Sn[nxt], out=best_cos)
+    C = S[chosen].copy()
+    for _ in range(n_iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Sn @ Cn.T, axis=1)
+        for j in range(n_cells):
+            members = Sn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[j] = m / nrm
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str,
@@ -93,6 +206,9 @@ def ivf_topk(
     max_cell_size: int = 100_000,
     cap_salts: int = 16,
     cap_salt_expr=None,
+    centroids: np.ndarray | None = None,
+    use_kernel: bool = False,
+    score_with_arrow: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the cell-partitioned counterpart to
     srp_lsh_topk.  Every vector is assigned to its nearest coarse centroid
@@ -100,13 +216,18 @@ def ivf_topk(
     exactly against only the vectors in those cells — corpus-scan cost drops
     by ~n_cells/n_probe versus brute force.
 
-    Centroids are the vectors with id < n_cells — a deterministic,
-    oracle-able coarse quantizer (production would k-means these; the
-    operator takes whatever centroid rule produced the first n_cells ids,
-    and the IVF machinery — assignment, probing, cell join — is identical
-    either way).  Centroids are collected once (n_cells is small by
-    construction) and unrolled as literal arrays, so assignment and probing
-    are pure codegen over the corpus scan: no UDF, no shuffle.
+    Centroids: pass a trained (n_cells, dim) array — train_ivf_centroids
+    gives the deterministic spherical-k-means quantizer, still oracle-able
+    because the oracle generator retrains the identical centroids and
+    embeds them as literals.  centroids=None falls back to the id-prefix
+    rule (vectors with id < n_cells) — the untrained baseline kept for the
+    recall-comparison tests.  Either way centroids live on the driver
+    (n_cells is small by construction); on the default expression path they
+    unroll as literal arrays so assignment and probing are pure codegen
+    over the corpus scan — no UDF, no shuffle.  use_kernel=True swaps the
+    per-row interpreted cosine folds (n_cells of them per row — the CPU
+    bottleneck at dim 768+) for one Arrow seqfold-matmul kernel per batch,
+    bit-identical (functions/kernels.make_ivf_assign_udf).
 
     Scale shape:
     - the cell equi-join carries IDS ONLY ((n_id, cell) vs exploded
@@ -119,33 +240,50 @@ def ivf_topk(
     - ties (equal cosine to two centroids) break toward the smaller cell
       id, matching the oracle's ORDER BY cosine DESC, cid ASC.
     """
-    cents = (
-        corpus.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
-    )
-    # the query norm is hoisted to ONE column: inside each per-centroid
-    # struct it would be re-folded n_cells times (higher-order functions run
-    # interpreted, no CSE across struct fields) — same expression, same
-    # bits, 1/3 of the assignment cost at n_cells=16
-    qn = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, z: a + z * z))
-    with_qn = corpus.withColumn("_qn", qn)
-    # array<struct<cos,negcid>> sorted desc is (cosine desc, cid asc):
-    # struct comparison is lexicographic and -cid descending == cid ascending
-    scored_cells = F.array(*[
-        F.struct(
-            _cosine_to_lit(vec_col, [float(x) for x in row["cvec"]],
-                           norm_col="_qn").alias("cos"),
-            F.lit(-int(row["cid"])).alias("negcid"),
+    if centroids is not None:
+        cents = [(int(i), [float(x) for x in centroids[i]])
+                 for i in range(len(centroids))]
+    else:
+        cents = [
+            (int(row["cid"]), [float(x) for x in row["cvec"]])
+            for row in corpus.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect()
+        ]
+        cents.sort(key=lambda t: t[0])
+    if use_kernel:
+        from ..functions.kernels import ivf_assign_arrow
+
+        assigned = ivf_assign_arrow(
+            corpus, id_col, vec_col,
+            np.array([c for c, _ in cents], dtype=np.int64),
+            np.array([v for _, v in cents], dtype=np.float64),
+            n_probe,
         )
-        for row in cents
-    ])
-    ranked = F.reverse(F.array_sort(scored_cells))
-    assigned = with_qn.select(
-        F.col(id_col).alias("_id"),
-        (-F.element_at(ranked, 1)["negcid"]).alias("cell"),
-        F.slice(ranked, 1, n_probe).alias("_probe"),
-    )
+    else:
+        # the query norm is hoisted to ONE column: inside each per-centroid
+        # struct it would be re-folded n_cells times (higher-order functions
+        # run interpreted, no CSE across struct fields) — same expression,
+        # same bits, 1/3 of the assignment cost at n_cells=16
+        qn = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, z: a + z * z))
+        with_qn = corpus.withColumn("_qn", qn)
+        # array<struct<cos,negcid>> sorted desc is (cosine desc, cid asc):
+        # struct comparison is lexicographic; -cid descending == cid ascending
+        scored_cells = F.array(*[
+            F.struct(
+                _cosine_to_lit(vec_col, cvec, norm_col="_qn").alias("cos"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cvec in cents
+        ])
+        ranked = F.reverse(F.array_sort(scored_cells))
+        assigned = with_qn.select(
+            F.col(id_col).alias("_id"),
+            (-F.element_at(ranked, 1)["negcid"]).alias("cell"),
+            F.transform(
+                F.slice(ranked, 1, n_probe), lambda s: -s["negcid"]
+            ).alias("_probes"),
+        )
     # the assignment scan (n_cells cosine folds per row) feeds BOTH the
     # cells and probes branches — persist so it is computed once per action
     assigned = assigned.persist()
@@ -157,23 +295,17 @@ def ivf_topk(
             cells, ["cell"], "_id", max_cell_size,
             n_salts=cap_salts, salt=cap_salt_expr,
         )
-    probes = (
-        assigned.select(F.col("_id").alias("q_id"), F.explode("_probe").alias("p"))
-        .select("q_id", (-F.col("p")["negcid"]).alias("cell"))
+    probes = assigned.select(
+        F.col("_id").alias("q_id"), F.explode("_probes").alias("cell")
     )
-    cand = (
+    cand = _parallelism_floor(
         probes.join(cells.select(F.col("_id").alias("n_id"), "cell"), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
-    qv = corpus.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = (
-        cand.join(qv, "q_id")
-        .join(nv, "n_id")
-        .select("q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine"))
-    )
+    qv, nv = _scoring_sides(corpus, id_col, vec_col)
+    scored = _score_joined(cand.join(qv, "q_id").join(nv, "n_id"), score_with_arrow, dim)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -216,6 +348,8 @@ def srp_lsh_topk(
     max_bucket_size: int = 2000,
     cap_salts: int = 16,
     cap_salt_expr=None,
+    use_kernel: bool = False,
+    score_with_arrow: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs top-k: L independent SRP hash tables, candidate
     union across tables, exact cosine within bucket (classic multi-table
@@ -236,19 +370,31 @@ def srp_lsh_topk(
       shuffle ever moves a vector more than once.
     """
     # bucket table carries (id, table, bucket) — no vectors
-    tables = []
-    for t in range(n_tables):
-        bt = (
-            add_srp_buckets(
-                corpus, vec_col, dim, n_planes, seed + 1009 * t, out_col="srp_bucket"
+    if use_kernel:
+        # ONE corpus scan computes all L tables' buckets (the expression
+        # path scans per table and unions); dots are seqfold bit-identical
+        from ..functions.kernels import srp_buckets_arrow
+
+        planes = np.stack([
+            np.random.RandomState(seed + 1009 * t).randn(n_planes, dim)
+            for t in range(n_tables)
+        ])
+        b = srp_buckets_arrow(corpus, id_col, vec_col, planes)
+    else:
+        tables = []
+        for t in range(n_tables):
+            bt = (
+                add_srp_buckets(
+                    corpus, vec_col, dim, n_planes, seed + 1009 * t,
+                    out_col="srp_bucket",
+                )
+                .withColumn("srp_table", F.lit(t))
+                .select(F.col(id_col).alias("_id"), "srp_table", "srp_bucket")
             )
-            .withColumn("srp_table", F.lit(t))
-            .select(F.col(id_col).alias("_id"), "srp_table", "srp_bucket")
-        )
-        tables.append(bt)
-    b = tables[0]
-    for bt in tables[1:]:
-        b = b.unionByName(bt)
+            tables.append(bt)
+        b = tables[0]
+        for bt in tables[1:]:
+            b = b.unionByName(bt)
     if max_bucket_size:
         from .minhash_lsh import cap_bucket_rows
 
@@ -258,20 +404,15 @@ def srp_lsh_topk(
         )
     left = b.select(F.col("_id").alias("q_id"), "srp_table", "srp_bucket")
     right = b.select(F.col("_id").alias("n_id"), "srp_table", "srp_bucket")
-    cand = (
+    cand = _parallelism_floor(
         left.join(right, ["srp_table", "srp_bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
     # vectors join in exactly once per side, post-dedup
-    qv = corpus.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = (
-        cand.join(qv, "q_id")
-        .join(nv, "n_id")
-        .select("q_id", "n_id", _cosine("q_vec", "n_vec").alias("cosine"))
-    )
+    qv, nv = _scoring_sides(corpus, id_col, vec_col)
+    scored = _score_joined(cand.join(qv, "q_id").join(nv, "n_id"), score_with_arrow, dim)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

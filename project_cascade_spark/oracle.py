@@ -312,20 +312,30 @@ SELECT q_id, n_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
-def emb_ann_ivf_sql(k: int, dim: int, n_cells: int, n_probe: int) -> str:
-    """Exact DuckDB twin of operators/similarity.ivf_topk: centroids are the
-    vectors with vec_id < n_cells, every vector joins its argmax-cosine cell,
-    each query probes its n_probe best cells, candidates are scored exactly.
-    Both engines evaluate every cosine with the same sequential fold
-    (_cosine_sql ↔ F.aggregate / the operator's literal-norm loop), so cell
-    assignment, probe sets, candidates, and rankings are identical.  The cell
-    cap is a no-op at gate scale (corpus < max_cell_size), as for the SRP
-    oracle; the salted cap is covered by tests/test_bucket_cap.py."""
+def emb_ann_ivf_sql(k: int, dim: int, n_probe: int, centroids) -> str:
+    """Exact DuckDB twin of operators/similarity.ivf_topk with a TRAINED
+    quantizer: `centroids` is the (n_cells, dim) float64 array produced by
+    train_ivf_centroids — the caller retrains it from the same deterministic
+    sample rule as the Spark side (queries._trained_ivf_centroids_gate), and
+    it embeds here as double literals (repr round-trips bit-exactly), the
+    same move as the SRP oracle's regenerated hyperplanes.  Every vector
+    joins its argmax-cosine cell, each query probes its n_probe best cells,
+    candidates are scored exactly.  Both engines evaluate every cosine with
+    the same sequential fold (_cosine_sql ↔ F.aggregate / the operator's
+    literal-norm loop), so cell assignment, probe sets, candidates, and
+    rankings are identical.  The cell cap is a no-op at gate scale (corpus <
+    max_cell_size), as for the SRP oracle; the salted cap is covered by
+    tests/test_bucket_cap.py."""
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in enumerate(centroids)
+    )
     cos_qc = _cosine_sql("e.embedding", "c.cvec", dim)
     cos = _cosine_sql("q.embedding", "n.embedding", dim)
     return f"""WITH cents AS (
-    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-    WHERE vec_id < {n_cells}),
+    SELECT cid::BIGINT AS cid, cvec FROM (VALUES {rows}) AS t(cid, cvec)),
 cellscore AS (
     SELECT e.vec_id AS _id, c.cid, {cos_qc} AS cos
     FROM embeddings e CROSS JOIN cents c),

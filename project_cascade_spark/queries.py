@@ -35,6 +35,8 @@ EMB_ANN_TABLES = 8
 EMB_ANN_SEED = 42
 EMB_IVF_CELLS = 16    # IVF geometry shared by the Spark query and its oracle
 EMB_IVF_PROBE = 4
+EMB_IVF_TRAIN_SAMPLE = 512  # quantizer trains on the this-many smallest ids
+EMB_IVF_TRAIN_ITERS = 8
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,18 +203,66 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_ivf_centroids_spark(spark: SparkSession, sf_dir: str):
+    """Deterministic k-means centroids from the sf_dir data itself: sample =
+    the EMB_IVF_TRAIN_SAMPLE smallest vec_ids in id order, trained by
+    similarity.train_ivf_centroids (pure numpy, farthest-point init).  The
+    oracle generator (_trained_ivf_centroids_gate) runs the SAME function on
+    the SAME sample read straight from parquet, so both sides hold
+    bit-identical centroids — the data-derived analogue of the SRP oracle's
+    regenerated hyperplanes."""
+    import numpy as np
+
+    from .operators.similarity import train_ivf_centroids
+
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < EMB_IVF_TRAIN_SAMPLE)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    sample = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return train_ivf_centroids(sample, EMB_IVF_CELLS, EMB_IVF_TRAIN_ITERS)
+
+
+def _trained_ivf_centroids_gate():
+    """The oracle-side twin of _trained_ivf_centroids_spark, reading the
+    correctness-gate scale factor's parquet directly (the driver runs the
+    oracle SQL at sf0.01; float32→float64 widening is exact in both engines,
+    so the sample — and therefore the trained centroids — are bit-identical
+    to the Spark side's)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import train_ivf_centroids
+
+    gate = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{gate}/embeddings.parquet' "
+        f"WHERE vec_id < {EMB_IVF_TRAIN_SAMPLE} ORDER BY vec_id"
+    ).fetchall()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    return train_ivf_centroids(sample, EMB_IVF_CELLS, EMB_IVF_TRAIN_ITERS)
+
+
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-probed ANN: IVF with a deterministic coarse quantizer (centroids
-    = vec_id < n_cells).  Approximate vs brute force by design but fully
-    deterministic, so the DuckDB oracle (oracle.emb_ann_ivf_sql) reproduces
-    buckets, candidates, and rankings exactly.  Recall vs brute force is
-    bounded separately in tests/test_similarity.py."""
+    """Cell-probed ANN: IVF with a TRAINED deterministic coarse quantizer
+    (seeded sampled spherical k-means — round-3 verdict replaced the
+    id-prefix placeholder).  Approximate vs brute force by design but fully
+    deterministic, so the DuckDB oracle (oracle.emb_ann_ivf_sql) retrains
+    the identical centroids and reproduces cells, candidates, and rankings
+    exactly.  Recall vs brute force — and the trained quantizer's recall
+    gain over id-prefix — are measured in tests/test_similarity.py."""
     from .operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     out = ivf_topk(
         emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
         n_cells=EMB_IVF_CELLS, n_probe=EMB_IVF_PROBE,
+        centroids=_trained_ivf_centroids_spark(spark, sf_dir),
     )
     return out.select(
         "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -535,7 +585,7 @@ def build_oracles() -> dict:
             EMB_TOPK, EMB_DIM, EMB_ANN_PLANES, EMB_ANN_TABLES, EMB_ANN_SEED
         ),
         "emb_ann_ivf": o.emb_ann_ivf_sql(
-            EMB_TOPK, EMB_DIM, EMB_IVF_CELLS, EMB_IVF_PROBE
+            EMB_TOPK, EMB_DIM, EMB_IVF_PROBE, _trained_ivf_centroids_gate()
         ),
         "emb_near_dup": o.emb_near_dup_sql(EMB_NEAR_DUP_T, EMB_DIM),
         "match_stats": o.match_stats_sql(),

@@ -73,6 +73,100 @@ def test_simhash_kernel_null_empty_parity(spark):
     assert out[3][0] == out[3][1]
 
 
+# --------------------- ANN kernels (round-4 scale path) ---------------------
+
+EMB_SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, n=150):
+    df = spark.read.parquet(f"{EMB_SF}/embeddings.parquet").limit(n)
+    return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+def test_pair_cosine_kernel_matches_expr_bitexact(spark):
+    """The seqfold cumsum kernel must reproduce F.aggregate's left-fold
+    cosine to the LAST BIT — not approximately (== on raw doubles)."""
+    from project_cascade_spark.functions.kernels import score_pairs_arrow
+    from project_cascade_spark.operators.similarity import _cosine
+
+    emb = _emb(spark, 60)
+    a = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    b = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    pairs = a.crossJoin(b).filter(F.col("q_id") < F.col("n_id"))
+    expr = {
+        (r["q_id"], r["n_id"]): r["c"]
+        for r in pairs.select(
+            "q_id", "n_id", _cosine("q_vec", "n_vec").alias("c")
+        ).collect()
+    }
+    kern = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in score_pairs_arrow(pairs, 64).collect()
+    }
+    assert len(expr) > 1000 and len(kern) == len(expr)
+    for key, v in expr.items():
+        assert kern[key] == v
+
+
+def test_srp_buckets_kernel_matches_expr(spark):
+    """Per-table bucket ids from the one-scan kernel == the per-table
+    expression scans (sign of a bit-identical dot)."""
+    import numpy as np
+
+    from project_cascade_spark.functions.kernels import srp_buckets_arrow
+    from project_cascade_spark.operators.similarity import add_srp_buckets
+
+    emb = _emb(spark)
+    n_planes, n_tables, dim, seed = 8, 4, 64, 42
+    planes = np.stack([
+        np.random.RandomState(seed + 1009 * t).randn(n_planes, dim)
+        for t in range(n_tables)
+    ])
+    kern = {
+        (r["_id"], r["srp_table"]): r["srp_bucket"]
+        for r in srp_buckets_arrow(emb, "vec_id", "embedding", planes).collect()
+    }
+    for t in range(n_tables):
+        rows = add_srp_buckets(
+            emb, "embedding", dim, n_planes, seed + 1009 * t
+        ).select("vec_id", "srp_bucket").collect()
+        for r in rows:
+            assert kern[(r["vec_id"], t)] == r["srp_bucket"]
+
+
+def test_srp_lsh_topk_kernel_path_parity(spark):
+    from project_cascade_spark.operators.similarity import srp_lsh_topk
+
+    emb = _emb(spark)
+    kw = dict(dim=64, k=3, n_planes=4, n_tables=4, seed=7)
+    expr = srp_lsh_topk(emb, "vec_id", "embedding", use_kernel=False, **kw)
+    kern = srp_lsh_topk(emb, "vec_id", "embedding", use_kernel=True, **kw)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, kern.collect()))
+
+
+def test_ivf_topk_kernel_path_parity(spark):
+    """Both quantizers (id-prefix and trained k-means), both scoring paths:
+    identical output rows."""
+    import numpy as np
+
+    from project_cascade_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    sample = np.stack([
+        np.asarray(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+    ])
+    trained = train_ivf_centroids(sample, n_cells=8)
+    for cents in (None, trained):
+        kw = dict(dim=64, k=3, n_cells=8, n_probe=2, centroids=cents)
+        expr = ivf_topk(emb, "vec_id", "embedding", use_kernel=False, **kw)
+        kern = ivf_topk(emb, "vec_id", "embedding", use_kernel=True, **kw)
+        assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, kern.collect()))
+
+
 def test_minhash_similar_texts_share_bands(spark):
     """Sanity: near-identical token streams collide on most signature slots."""
     df = _df(spark)
