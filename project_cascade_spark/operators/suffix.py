@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import CascadeConfig
@@ -86,19 +86,47 @@ def fingerprint_anchor_pairs(
     fp_col: str,
     cfg: CascadeConfig,
     template_filter: bool = True,
+    max_occ_per_doc: int = 16,
 ) -> DataFrame:
     """(id_a, id_b, anchors) for pairs sharing >= 1 positional print, with
-    anchors = every (pos_a, pos_b) occurrence combination of the shared
+    anchors = the (pos_a, pos_b) occurrence combinations of the shared
     prints.  The ALIGNED anchor inside a shared substring of length
     >= winnow_k + winnow_w - 1 is guaranteed to be among them (see
     make_winnow_pos_udf), so anchored extension is an exact verifier.
 
-    template_filter drops prints whose distinct-document frequency exceeds
-    cfg.max_bucket_size (the MOSS boilerplate move) — note countDistinct,
-    not count: a print repeated inside ONE document is repetition, not
-    boilerplate."""
+    Two bounds keep the per-pair anchor list from going quadratic
+    (round-3 verdict's "unbounded under within-document repetition"):
+
+    - template_filter drops prints whose distinct-DOCUMENT frequency
+      exceeds cfg.max_bucket_size (the MOSS boilerplate move — note
+      countDistinct, not count);
+    - max_occ_per_doc keeps only the first m occurrences of each print
+      WITHIN a document (earliest positions).  A print repeated r times in
+      each of two docs otherwise contributes r² anchor structs to that one
+      pair — 40,000 for a gram repeated 200× in two minified files.  With
+      the cap, each shared print contributes <= m² anchors.
+
+    Exactness under the cap: the verifier stays exact whenever some print
+    of the true longest shared block has its aligned occurrence among the
+    first m per doc — in particular always when no print repeats more than
+    m times per document (the overwhelming case: winnow prints are
+    near-unique k-gram hashes).  In the adversarial case — a block made
+    ENTIRELY of one gram repeated > m times per doc, preceded by > m more
+    occurrences outside the block — lcs_len can be UNDERestimated, never
+    overestimated (anchors only ever extend to real matching characters).
+    The planted-repetition pytest in tests/test_suffix.py pins both the
+    bound and the exactness of the common case."""
     fps = df.select(F.col(id_col).alias("_id"), F.explode(F.col(fp_col)).alias("p"))
     fps = fps.select("_id", F.col("p.fp").alias("fp"), F.col("p.pos").alias("pos"))
+    if max_occ_per_doc:
+        # per-(doc, print) groups are bounded by document length, so a plain
+        # window needs no salting here (unlike the cross-corpus bucket caps)
+        w = Window.partitionBy("_id", "fp").orderBy("pos")
+        fps = (
+            fps.withColumn("_occ", F.row_number().over(w))
+            .filter(F.col("_occ") <= max_occ_per_doc)
+            .drop("_occ")
+        )
     if template_filter and cfg.max_bucket_size:
         freq = fps.groupBy("fp").agg(F.countDistinct("_id").alias("_df"))
         fps = (

@@ -96,6 +96,53 @@ def test_anchored_lcs_repetitive_and_collision_anchors():
     assert _anchored_lcs("abcdefgh", "ABCDEFGH", [{"pos_a": 0, "pos_b": 0}], 4) == 0
 
 
+def test_anchor_cap_bounds_within_doc_repetition(spark):
+    """Round-3 verdict fix: a gram repeated r times WITHIN each of two docs
+    yields r² anchors for that one pair unless capped.  Plant exactly that
+    (a 60-char 'q' run → ~53 occurrences of one print per doc) PLUS a true
+    shared block of distinct grams, and check (a) the anchor list shrinks
+    by orders of magnitude under the cap, (b) the block's lcs_len stays
+    EXACT — its prints occur once per doc, untouched by the cap."""
+    cfg = CascadeConfig(winnow_k=8, winnow_w=9, min_common_substring=16,
+                        max_bucket_size=50)
+    rng = random.Random(5)
+    block = "SHARED BLOCK " * 8            # 104 chars of distinct grams
+    run = "q" * 60                         # one gram, ~53 occurrences
+
+    def body():
+        return "".join(rng.choice("abcdefg ") for _ in range(120))
+
+    rows = [
+        (0, body() + run + body() + block + body()),
+        (1, body() + run + body() + block + body()),
+    ]
+    docs = spark.createDataFrame(rows, "id long, norm string")
+    fps = add_fingerprints_pos(docs, "norm", cfg)
+
+    def max_anchors(cap):
+        pairs = fingerprint_anchor_pairs(
+            fps, "id", "fps_pos", cfg, template_filter=True,
+            max_occ_per_doc=cap,
+        )
+        return pairs.select(F.max(F.size("anchors"))).first()[0], pairs
+
+    uncapped_n, _ = max_anchors(0)
+    capped_n, capped_pairs = max_anchors(4)
+    assert uncapped_n >= 1000, uncapped_n          # the blow-up is real
+    assert capped_n <= 100, capped_n               # ...and the cap kills it
+    # exactness survives: the true LCS is the 104-char block (> the 60-char
+    # run), and its once-per-doc prints are untouched by the cap
+    got = {
+        (r["id_a"], r["id_b"]): r["lcs_len"]
+        for r in verify_long_substring_anchored(
+            capped_pairs, docs, "id", "norm", cfg
+        ).collect()
+    }
+    truth = _lcs_via_suffix_array(rows[0][1], rows[1][1])
+    assert truth >= len(block)
+    assert got == {(0, 1): truth}
+
+
 def test_anchored_spark_path_matches_gram_set_path(spark):
     """Full pipeline-shaped comparison on planted shared blocks: positional
     prints → anchor pairs → anchored verify must produce exactly the same
