@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="spark master override")
     p.add_argument("--preset", default="code", choices=["code", "default"])
     p.add_argument("--no-substring-pass", action="store_true")
+    p.add_argument("--configs", default=None,
+                   help="comma-separated JSON band-config files: sweep the "
+                        "cascade filter over each and report the best "
+                        "(reference runfile.py's outermost config loop)")
     p.add_argument("--report", action="store_true",
                    help="print a one-line JSON run report")
     args = p.parse_args(argv)
@@ -103,6 +107,45 @@ def main(argv: list[str] | None = None) -> int:
     row = stats.first()
     n_files, n_clusters, n_edges = row["n_files"], row["n_clusters"], row["n_edges"]
     n_substr = row["n_substr"] if res.substring_pairs is not None else 0
+
+    sweep_report = None
+    if args.configs:
+        import os
+
+        from project_cascade_spark.operators.cascade_filter import (
+            parse_band_config,
+            sweep_band_configs,
+        )
+
+        configs = []
+        for path in args.configs.split(","):
+            with open(path) as fh:
+                configs.append(parse_band_config(
+                    json.load(fh),
+                    default_name=os.path.splitext(os.path.basename(path))[0],
+                ))
+        sweep_stats, best = sweep_band_configs(
+            res.edges, df, "file_id", F.length("content"), configs
+        )
+        if store:
+            # durable per-config stats table, resumed like any other stage;
+            # the sweep's own identity (the config set) goes into the stage
+            # NAME — the store fingerprint covers (input, preset, pipeline
+            # config) only, and a different --configs list must recompute,
+            # not resume a stale table
+            import hashlib
+
+            sweep_id = hashlib.sha256(
+                json.dumps(configs, sort_keys=True).encode()
+            ).hexdigest()[:12]
+            stats_df = sweep_stats
+            sweep_stats = store.run(f"09_config_sweep_{sweep_id}", lambda: stats_df)
+        sweep_report = {
+            "configs": [name for name, _ in configs],
+            "best_config": best.first()["best_config"],
+            "stats": [r.asDict() for r in sweep_stats.collect()],
+        }
+
     wall = time.time() - t0
     if args.report:
         print(json.dumps({
@@ -114,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
             "files_per_sec": round(n_files / wall, 1),
             "resumable": bool(args.workdir),
             "computed_stages": store.computed if store else None,
+            "config_sweep": sweep_report,
         }))
     spark.stop()
     return 0

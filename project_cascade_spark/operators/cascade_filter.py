@@ -82,3 +82,64 @@ def match_stats(
 def best_config(stats: DataFrame, config_col: str, metric_col: str) -> DataFrame:
     """argmax over per-config stats (SURVEY A9) — max_by, one reduce."""
     return stats.agg(F.max_by(F.col(config_col), F.col(metric_col)).alias("best_config"))
+
+
+def parse_band_config(conf: dict, default_name: str = "config") -> tuple[str, list]:
+    """Reference-shaped config dict → (name, bands).
+
+    Mirrors Config_Files/1_config.py's per-band dicts:
+    {"name": ..., "bands": [{"char_counts": [lo, hi],
+    "min_match_score": s}, ...]} — the same (length range, score threshold)
+    cascade the reference sweeps per run (runfile.py:190-243)."""
+    bands = [
+        (int(b["char_counts"][0]), int(b["char_counts"][1]),
+         float(b["min_match_score"]))
+        for b in conf["bands"]
+    ]
+    return str(conf.get("name", default_name)), bands
+
+
+def sweep_band_configs(
+    edges: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    length_col,
+    configs: list[tuple[str, list[tuple[int, int, float]]]],
+    score_col: str = "jaccard",
+    metric: str = "avg_score",
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's OUTERMOST loop (runfile.py:190-243 →
+    match_filtering.py:158-191): run the cascade band filter + match stats
+    for EVERY config over the same verified edges, emit the per-config
+    stats table and the argmax winner.
+
+    One materialization of the length-joined edge set feeds all N filters
+    (each filter+aggregate is a metadata-light pass over the persisted
+    frame — the reference re-read its matches file per config).  Banding is
+    on the PAIR length = the shorter side's document length, the analogue
+    of the reference's char_count of the matched name.
+
+    Returns (stats, best): stats has one row per config
+    (config, n_rows, n_scored, avg_score, min_score, max_score, n_high);
+    best is the 1-row argmax of `metric`.
+    """
+    lens = docs.select(F.col(id_col).alias("_lid"), length_col.alias("_len"))
+    e = (
+        edges.join(
+            lens.select(F.col("_lid").alias("id_a"), F.col("_len").alias("_len_a")),
+            "id_a",
+        )
+        .join(
+            lens.select(F.col("_lid").alias("id_b"), F.col("_len").alias("_len_b")),
+            "id_b",
+        )
+        .withColumn("pair_len", F.least("_len_a", "_len_b"))
+        .persist()
+    )
+    stats = None
+    for name, bands in configs:
+        kept = cascade_filter(e, "pair_len", score_col, bands)
+        st = match_stats(kept, score_col).withColumn("config", F.lit(name))
+        stats = st if stats is None else stats.unionByName(st)
+    best = best_config(stats.filter(F.col("n_scored") > 0), "config", metric)
+    return stats, best
