@@ -21,11 +21,12 @@ exact on a closed input.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
-    TimestampType,
+    ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 EVENTS_SCHEMA = StructType([
@@ -154,6 +155,123 @@ def incremental_dedup_assign(
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )
+    )
+
+
+NEAR_OUT_SCHEMA = StructType([
+    StructField("file_id", LongType()),
+    StructField("band", StringType()),
+    StructField("cand_id", LongType()),
+    StructField("slot_frac", DoubleType()),
+])
+NEAR_STATE_SCHEMA = StructType([
+    StructField("member_ids", ArrayType(LongType())),
+    StructField("sigs_flat", ArrayType(LongType())),
+])
+
+
+def incremental_near_dup_assign(
+    files: DataFrame,
+    cfg,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 2 * 3600 * 1000,
+    max_members_per_band: int = 8,
+) -> DataFrame:
+    """Streaming NEAR-dup candidates (round-3 verdict #6): per-LSH-band
+    state of a CAPPED member list (file_id, minhash signature), so a file
+    arriving in a later microbatch joins an existing near-dup cluster
+    without any batch recompute.
+
+    Expects (file_id, ts, minhash array<bigint>).  Each file explodes into
+    its band keys; per band, arriving files are compared against the
+    band's stored members by MinHash slot agreement (an unbiased Jaccard
+    estimator: E[matching slots / num_perm] = J).  Output: one row per
+    (file, band) with the band's best candidate member and its slot
+    fraction — resolve_near_dup_reps reduces these to one rep per file.
+
+    Scale bounds, mirroring the batch path's skew guards: state per band
+    is capped at max_members_per_band (a boilerplate band cannot grow
+    unbounded state — the streaming twin of cap_bucket_rows), and bands
+    idle past watermark + ttl are evicted by event-time timeout.
+
+    Semantics note: a file is assigned to the EARLIEST stored member that
+    clears the threshold, which is the cluster's founding rep for clusters
+    born inside the state horizon; exact transitive closure across
+    chains (A~B~C where A,C share no band) remains the batch CC's job —
+    run the batch pipeline as periodic compaction.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import band_keys
+
+    num_perm = cfg.num_perm
+    cap = max_members_per_band
+
+    def probe(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("file_id")
+        if state.exists:
+            member_ids, flat = state.get
+            member_ids = [int(x) for x in member_ids]
+            M = np.asarray(flat, dtype=np.int64).reshape(len(member_ids), num_perm)
+        else:
+            member_ids = []
+            M = np.empty((0, num_perm), dtype=np.int64)
+        out_fid, out_cand, out_frac = [], [], []
+        for fid, sig in zip(rows["file_id"], rows["minhash"]):
+            s = np.asarray(sig, dtype=np.int64)
+            if member_ids:
+                fracs = (M == s[None, :]).mean(axis=1)
+                j = int(np.argmax(fracs))     # first max: earliest member wins ties
+                out_cand.append(member_ids[j])
+                out_frac.append(float(fracs[j]))
+            else:
+                out_cand.append(None)
+                out_frac.append(0.0)
+            out_fid.append(int(fid))
+            if len(member_ids) < cap:
+                member_ids.append(int(fid))
+                M = np.vstack([M, s[None, :]])
+        (band,) = key
+        yield pd.DataFrame({
+            "file_id": pd.array(out_fid, dtype="int64"),
+            "band": band,
+            "cand_id": pd.array(out_cand, dtype="Int64"),
+            "slot_frac": out_frac,
+        })
+        state.update((member_ids, [int(x) for x in M.reshape(-1)]))
+        last_ts_ms = int(rows["ts"].max().timestamp() * 1000)
+        state.setTimeoutTimestamp(last_ts_ms + state_ttl_ms)
+
+    bands = files.select(
+        "file_id", "ts", "minhash",
+        F.explode(band_keys(F.col("minhash"), cfg)).alias("band"),
+    ).withColumn("band", F.col("band").cast("string"))
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band")
+        .applyInPandasWithState(
+            probe,
+            outputStructType=NEAR_OUT_SCHEMA,
+            stateStructType=NEAR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def resolve_near_dup_reps(cands: DataFrame, threshold: float) -> DataFrame:
+    """(file_id, rep_id) from the per-(file, band) candidate stream: the
+    earliest (smallest-id) member clearing the slot-fraction threshold
+    across any band, else the file itself.  Stateless — apply to the
+    drained sink table or inside foreachBatch."""
+    ok = F.when(F.col("slot_frac") >= threshold, F.col("cand_id"))
+    return (
+        cands.groupBy("file_id")
+        .agg(F.min(ok).alias("_best"))
+        .select("file_id", F.coalesce("_best", "file_id").alias("rep_id"))
     )
 
 
