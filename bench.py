@@ -34,13 +34,10 @@ PIPELINE_FILES = int(os.environ.get("CASCADE_BENCH_FILES", "30000"))
 # Walls fluctuate with host interference (±15% on local[8], ±5% on
 # local[2]; single stages occasionally double).  Each leg is measured REPS
 # times and the best wall kept: interference is one-sided (only ever adds
-# time), so min() measures the job rather than the neighbors.
+# time), so min() measures the job rather than the neighbors.  EVERY level
+# gets the same rep count — min-of-reps is only a symmetric estimator when
+# all legs get the same number of draws (round-2 advice).
 BIG_REPS = int(os.environ.get("CASCADE_BENCH_BIG_REPS", "2"))
-# EQUAL rep counts per leg: min-of-reps is only a symmetric estimator when
-# both legs get the same number of draws — one-sided rep counts would give
-# the fast leg extra chances to land a low wall and bias the efficiency
-# ratio upward (round-2 advice).
-SMALL_REPS = int(os.environ.get("CASCADE_BENCH_SMALL_REPS", str(BIG_REPS)))
 # The sandbox CPU throttles under sustained load and recovers when idle
 # (measured: a fixed single-thread numpy probe runs 1.18s on a rested box,
 # 1.42s right after a long multi-core burst; a local[4] pipeline leg runs
@@ -50,7 +47,7 @@ SMALL_REPS = int(os.environ.get("CASCADE_BENCH_SMALL_REPS", str(BIG_REPS)))
 # 32-core headline queries, so no leg inherits their depletion.
 COOLDOWN_BIG_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_BIG_S", "150"))
 COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "60"))
-# N→4N proxy pair.  NOT 8→32: a multiprocessing microbenchmark (see
+# N→4N proxy pairs.  NOT 8→32: a multiprocessing microbenchmark (see
 # BENCH/BASELINE.md) shows this sandbox delivers only ~6.5 effective cores
 # (32 procs run at 0.2 efficiency; 8 procs at 0.82), so 8→32 scaling is
 # physically unavailable.  1→4 is the N→4N pair fully inside the
@@ -58,9 +55,12 @@ COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "60"))
 # procs but only 0.80 at 8 (shared L3/bandwidth contention that separate
 # executors on a real cluster would not share) — measured fresh-box raw
 # efficiency is ~0.71-0.75 for 2→8 vs ~0.81-0.85 for 1→4 on the SAME
-# plan.  Both pairs are reported in BENCH/BASELINE.md.
-SMALL_N = int(os.environ.get("CASCADE_BENCH_SMALL_N", "1"))
-BIG_N = int(os.environ.get("CASCADE_BENCH_BIG_N", "4"))
+# plan.  BOTH pairs run every round (round-3 verdict #7) so changes
+# cannot silently regress either receipt.
+PAIRS: list[tuple[int, int]] = [
+    tuple(int(x) for x in p.split(":"))
+    for p in os.environ.get("CASCADE_BENCH_PAIRS", "1:4,2:8").split(",")
+]
 # 10x scale-up leg (sf1-equivalent: 300k files vs the 30k scaling legs),
 # single parallelism level, run once: evidences the skew guards and the
 # hash-only working set where they matter — per-stage task-skew ratios,
@@ -351,26 +351,20 @@ def main() -> None:
         sf1_path = f"/tmp/cascade_bench_input_{SF1_FILES}_s500"
         _synth_parquet(sf1_path, SF1_FILES)
 
-    # -- part 1: pipeline at N and 4N on identical input, fresh process
-    # each.  Runs FIRST (freshest box) with legs INTERLEAVED (big, small,
-    # big, ...) so any residual slow drift in host speed hits both levels
-    # symmetrically instead of biasing whichever leg runs last.
-    legs: list[tuple[int, int]] = []
-    for i in range(max(BIG_REPS, SMALL_REPS)):
-        if i < BIG_REPS:
-            legs.append((BIG_N, i))
-        if i < SMALL_REPS:
-            legs.append((SMALL_N, i))
-    walls: dict[int, list[float]] = {BIG_N: [], SMALL_N: []}
+    # -- part 1: pipeline at every level of every N→4N pair on identical
+    # input, fresh process each.  Runs FIRST (freshest box) with levels
+    # INTERLEAVED within each rep round (descending core count) so any
+    # residual slow drift in host speed hits all levels symmetrically
+    # instead of biasing whichever leg runs last.  EQUAL rep counts per
+    # level keep min-of-reps a symmetric estimator.
+    levels = sorted({n for pair in PAIRS for n in pair}, reverse=True)
+    walls: dict[int, list[float]] = {n: [] for n in levels}
     n_files = 0
-    for n, _ in legs:
-        time.sleep(COOLDOWN_BIG_S if n == BIG_N else COOLDOWN_SMALL_S)
-        n_files, w = run_pipeline_subprocess(n, synth_path)
-        walls[n].append(w)
-    big_walls = [(n_files, w) for w in walls[BIG_N]]
-    small_walls = [(n_files, w) for w in walls[SMALL_N]]
-    wall_big = min(walls[BIG_N])
-    wall_small = min(walls[SMALL_N])
+    for _rep in range(BIG_REPS):
+        for n in levels:
+            time.sleep(COOLDOWN_BIG_S if n >= 4 else COOLDOWN_SMALL_S)
+            n_files, w = run_pipeline_subprocess(n, synth_path)
+            walls[n].append(w)
 
     # -- part 2: headline queries at SF_DIR (32 threads).  BEFORE the 10x
     # leg: its ~12-minute 8-core burst throttles the box harder than one
@@ -391,6 +385,9 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+    # dim-768 ANN scorer comparison (expr vs kernel candidate paths + the
+    # isolated pair scorer) — same session, short
+    ann768 = ann_kernel_bench(spark)
     spark.stop()
 
     # -- part 1b: the 10x scale leg (single level, one rep) — runs LAST:
@@ -410,31 +407,33 @@ def main() -> None:
             **sf1_report,
         }
 
-    tp_small = n_files / wall_small
-    tp_big = n_files / wall_big
-    eff = tp_big / ((BIG_N / SMALL_N) * tp_small)
+    pipeline: dict = {"files": n_files, "pairs": [list(p) for p in PAIRS]}
+    for n in levels:
+        best = min(walls[n])
+        pipeline[f"wall_s_n{n}"] = round(best, 2)
+        pipeline[f"files_per_sec_n{n}"] = round(n_files / best, 1)
+        pipeline[f"wall_s_n{n}_all_reps"] = [round(w, 2) for w in walls[n]]
+    for a, b in PAIRS:
+        eff = (n_files / min(walls[b])) / ((b / a) * (n_files / min(walls[a])))
+        pipeline[f"scaling_efficiency_{a}_to_{b}"] = round(eff, 3)
+    pipeline["hardware_note"] = (
+        "sandbox delivers ~6.5 effective cores; each leg is best-of-reps "
+        "(host interference is one-sided); 2->8 sits against the measured "
+        "0.80 shared-L3 per-core ceiling of this box; see BENCH/BASELINE.md"
+    )
 
-    total = round(sum(timings.values()) + wall_small + wall_big, 3)
+    total = round(
+        sum(timings.values()) + sum(min(walls[n]) for n in levels), 3
+    )
     print(json.dumps({
         "metric": "end_to_end_dedup_bench",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "ann_kernel_dim768": ann768,
         "scale_10x": scale_10x,
-        "pipeline": {
-            "files": n_files,
-            "wall_s_n%d" % SMALL_N: round(wall_small, 2),
-            "wall_s_n%d" % BIG_N: round(wall_big, 2),
-            "files_per_sec_n%d" % SMALL_N: round(tp_small, 1),
-            "files_per_sec_n%d" % BIG_N: round(tp_big, 1),
-            "scaling_efficiency_%d_to_%d" % (SMALL_N, BIG_N): round(eff, 3),
-            "wall_s_n%d_all_reps" % BIG_N: [round(w, 2) for _, w in big_walls],
-            "wall_s_n%d_all_reps" % SMALL_N: [round(w, 2) for _, w in small_walls],
-            "hardware_note": "sandbox delivers ~6.5 effective cores; "
-                             "each leg is best-of-reps (host interference "
-                             "is one-sided); see BENCH/BASELINE.md",
-        },
+        "pipeline": pipeline,
     }))
 
 
