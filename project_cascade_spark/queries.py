@@ -194,9 +194,13 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import srp_lsh_topk
 
     emb = _emb(spark, sf_dir)
+    # use_kernel: one Arrow scan buckets all L tables (bit-identical to the
+    # per-table expression scans — tests/test_kernels_parity.py — and ~3x
+    # faster wall even at dim 64, measured both ways at sf0.1)
     out = srp_lsh_topk(
         emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
         n_planes=EMB_ANN_PLANES, n_tables=EMB_ANN_TABLES, seed=EMB_ANN_SEED,
+        use_kernel=True,
     )
     return out.select(
         "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -259,10 +263,14 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
+    # use_kernel: Arrow matmul assignment (bit-identical to the literal-
+    # centroid expression folds — tests/test_kernels_parity.py — and ~1.5x
+    # faster wall at sf0.1's dim-64 geometry, more at realistic dims)
     out = ivf_topk(
         emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
         n_cells=EMB_IVF_CELLS, n_probe=EMB_IVF_PROBE,
         centroids=_trained_ivf_centroids_spark(spark, sf_dir),
+        use_kernel=True,
     )
     return out.select(
         "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
