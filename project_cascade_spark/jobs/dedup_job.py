@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="spark master override")
     p.add_argument("--preset", default="code", choices=["code", "default"])
     p.add_argument("--no-substring-pass", action="store_true")
+    p.add_argument("--append", action="store_true",
+                   help="treat --input as a NEW batch and fold it into the "
+                        "existing run in --workdir: only the batch is "
+                        "shingled, candidates are restricted to pairs "
+                        "touching a new file, clustering reruns over the "
+                        "merged edge set, and the merged corpus is promoted "
+                        "as the next epoch of the workdir (idempotent: "
+                        "re-appending the same batch is a no-op)")
     p.add_argument("--configs", default=None,
                    help="comma-separated JSON band-config files: sweep the "
                         "cascade filter over each and report the best "
@@ -79,6 +87,32 @@ def main(argv: list[str] | None = None) -> int:
         df = load_code_files(spark, pdf)
     else:
         df = load_code_files(spark, args.input)
+
+    if args.append:
+        if not args.workdir:
+            p.error("--append requires --workdir (the base run to fold into)")
+        from project_cascade_spark.plans.append import append_batch
+
+        res = append_batch(df, cfg, args.workdir)
+        from pyspark.sql import functions as F
+
+        stats = res.assignments.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        ).crossJoin(res.edges.agg(F.count(F.lit(1)).alias("n_edges"))).first()
+        wall = time.time() - t0
+        if args.report:
+            print(json.dumps({
+                "files": stats["n_files"],
+                "clusters": stats["n_clusters"],
+                "dup_edges": stats["n_edges"],
+                "new_files": res.n_new,
+                "skipped_existing": res.n_skipped,
+                "epoch": res.epoch,
+                "wall_s": round(wall, 2),
+            }))
+        spark.stop()
+        return 0
 
     store = None
     if args.workdir:

@@ -1,0 +1,356 @@
+"""Incremental batch append: fold a NEW batch of files into an existing
+dedup run without re-shingling the corpus.
+
+The reference re-runs a whole region when new source rows arrive
+(runfile.py's convert→match→cluster chain runs front-to-back every time);
+at 10^12-file scale a daily increment must not pay a corpus re-scan.  This
+module is the batch analogue of streaming/incremental.py: given a completed
+base run's StageStore (stages 00..05 durable in --workdir), only the new
+files are hashed/normalized/shingled, candidate generation is restricted
+to pairs that TOUCH a new representative (band join new-side × all-side —
+old×old collisions were already candidates in the base run and their
+verified edges are on disk), and clustering reruns connected components
+over the merged edge set — an edges-proportional cost, orders of magnitude
+below re-shingling at realistic dup rates.
+
+Exactness: assignments equal a from-scratch run over base ∪ batch
+(tests/test_append.py asserts frame equality).  The argument:
+- norm-group REPS are sticky (a group that existed in the base keeps its
+  base rep even if the batch brings a smaller file_id).  Rep choice cannot
+  change any downstream similarity: all members of a norm group share one
+  `norm`, hence identical shingles, simhash, and prints — so the verified
+  edge STRUCTURE, and therefore the file partition, is rep-invariant.
+- candidate completeness: a full run's LSH candidate (x, y) with y new
+  shares a band bucket, so the new×all band join finds it; old×old
+  candidates are the base run's own candidate set, whose surviving edges
+  are already in 05_edges.  Same per-side salted caps and the lossless
+  size-ratio prefilter apply (cap saturation is the one place the two
+  computations could pick different survivors from a degenerate bucket —
+  the same caveat the cap carries inside one run).
+- labels: cluster_id is canonicalized to min(file_id) over members, which
+  is exactly what the full pipeline's min-rep labeling resolves to (reps
+  are group-minimum ids there), so even labels match, not just structure.
+
+Durability: each append writes a new EPOCH of the base stages
+(`00_input__e<n>`, ...) plus its own batch stages (`e<n>_*`), all through
+StageStore.run — token-validated, resumable mid-append — and bumps the
+`_epoch` marker only after every stage has landed, so a crashed append
+retries cleanly and the previous epoch stays intact.  Re-appending an
+already-appended batch is a no-op (new file_ids are anti-joined against
+the corpus first).  Epochs accumulate as plain parquet dirs; on an Iceberg
+StageStore the same promotion rides snapshots instead of paths
+(sources/sinks.py, jar-gated).
+
+The long-substring side pass is not maintained incrementally (it is a side
+output, not an input to clustering); run the base job once with the pass
+enabled if the report is needed for the merged corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CascadeConfig
+from ..functions.hashing import fast_shingle_hashes, hamming60, simhash_chunks
+from ..functions.text import char_shingles, normalize_code
+from ..operators.connected_components import connected_components
+from ..operators.dedup import add_content_hash
+from ..operators.minhash_lsh import candidate_pairs_linkage
+from ..operators.simhash import add_simhash
+from ..operators.verify import jaccard_verify
+from ..sources.sinks import StageStore
+from .pipeline import SHORT_JACCARD
+
+# the base stages an append consumes and re-promotes
+BASE_STAGES = [
+    "00_input", "01_norm_reps", "02_prepared",
+    "03a_signatures", "04a_simhash", "05_edges",
+]
+
+
+def stage_name(stage: str, epoch: int) -> str:
+    return stage if epoch == 0 else f"{stage}__e{epoch}"
+
+
+def current_epoch(root: str) -> int:
+    import os
+
+    try:
+        with open(os.path.join(root, "_epoch")) as f:
+            return int(f.read().strip())
+    except OSError:
+        return 0
+
+
+def _bump_epoch(root: str, epoch: int) -> None:
+    import os
+
+    tmp = os.path.join(root, "_epoch.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(epoch))
+    os.replace(tmp, os.path.join(root, "_epoch"))  # atomic promotion
+
+
+def _base_tokens_digest(base: StageStore, epoch: int) -> str:
+    """Identity of the base state an append builds on: the sha256 chain
+    tokens of every consumed stage.  A base recomputed from different
+    input/config produces different tokens, so a stale append resume can
+    never be served against a new base (the token-chain contract extended
+    across runs)."""
+    h = hashlib.sha256()
+    for stage in BASE_STAGES:
+        with open(base._token_path(stage_name(stage, epoch))) as f:
+            h.update(f.read().strip().encode())
+    return h.hexdigest()
+
+
+@dataclass
+class AppendResult:
+    assignments: DataFrame   # file_id, content_sha, cluster_id — base ∪ batch
+    edges: DataFrame         # merged verified edge set
+    new_edges: DataFrame     # edges introduced by this batch
+    n_new: int               # batch files actually added
+    n_skipped: int           # batch files already present (idempotent re-append)
+    epoch: int               # corpus epoch after this append
+
+
+def append_batch(
+    new_files: DataFrame,
+    cfg: CascadeConfig,
+    root: str,
+    use_kernel: bool = True,
+) -> AppendResult:
+    spark = new_files.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    heavy_par = max(4 * par, 16)
+    epoch = current_epoch(root)
+    base = StageStore(spark, root)  # read-only view of the base stages
+
+    missing = [
+        s for s in BASE_STAGES if not base.exists(stage_name(s, epoch))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"append requires a completed base run in {root}; "
+            f"missing stages at epoch {epoch}: {missing}"
+        )
+
+    files_A = base.read(stage_name("00_input", epoch))
+    groups_A = base.read(stage_name("01_norm_reps", epoch))
+    prepared_A = base.read(stage_name("02_prepared", epoch))
+    sigs_A = base.read(stage_name("03a_signatures", epoch))
+    short_A = base.read(stage_name("04a_simhash", epoch))
+    edges_A = base.read(stage_name("05_edges", epoch))
+
+    # the append's own resumable chain: batch identity + base identity.
+    # Batch identity is content-derived (order/partition-independent sum of
+    # bounded row hashes — bounded before summing, ANSI mode), so a
+    # DIFFERENT batch of the same size can never resume this batch's
+    # stages; one extra scan of the (small) batch buys that safety.
+    ident = new_files.agg(
+        F.coalesce(
+            F.sum(F.pmod(
+                F.xxhash64("repo", "path", "commit", "content"), F.lit(1 << 32)
+            )), F.lit(0),
+        ).alias("h"),
+        F.count(F.lit(1)).alias("c"),
+    ).first()
+    n_batch_rows = ident["c"]
+    batch_fp = hashlib.sha256(
+        f"append:{ident['h']}:{n_batch_rows}:"
+        f"{_base_tokens_digest(base, epoch)}".encode()
+    ).hexdigest()
+    store = StageStore(spark, root, fingerprint=batch_fp)
+    nxt = epoch + 1
+
+    src = new_files
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(heavy_par)
+
+    # hash the batch; drop files already in the corpus (same (repo, path,
+    # commit) → same file_id) so re-appending a batch is a no-op
+    def _batch_files() -> DataFrame:
+        return (
+            add_content_hash(src, "content")
+            .withColumn("_nmd5", F.md5(normalize_code(F.col("content"))))
+            .select("file_id", "content_sha", "_nmd5")
+            .join(files_A.select("file_id"), "file_id", "left_anti")
+        )
+
+    files_B = store.run(f"e{nxt}_batch_files", _batch_files)
+    n_new = files_B.count()
+    if n_new == 0:
+        # nothing to fold in — current state is already the answer (the
+        # base 07 stage carries extra presentation columns at epoch 0)
+        assignments = base.read(stage_name("07_assignments", epoch)).select(
+            "file_id", "content_sha", "cluster_id"
+        )
+        return AppendResult(
+            assignments, edges_A, edges_A.limit(0),
+            0, n_batch_rows, epoch,
+        )
+
+    # norm groups: sticky reps for existing groups, min batch id for new ones
+    def _new_groups() -> DataFrame:
+        b = files_B.groupBy("_nmd5").agg(F.min("file_id").alias("nrep_id"))
+        return b.join(groups_A.select("_nmd5"), "_nmd5", "left_anti")
+
+    new_groups = store.run(f"e{nxt}_new_groups", _new_groups)
+
+    # normalize + shingle ONLY the new representatives (the entire per-row
+    # heavy path of the base pipeline, scoped to the batch)
+    def _prepared_new() -> DataFrame:
+        rows = src.select("file_id", "content").join(
+            new_groups.select(F.col("nrep_id").alias("file_id")), "file_id"
+        )
+        rows = rows.repartition(heavy_par, "file_id")
+        rows = rows.withColumn("norm", normalize_code(F.col("content"))).select(
+            "file_id", "norm"
+        )
+        sh = rows.withColumn(
+            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
+        ).withColumn(
+            "sh_hashes",
+            F.array_distinct(fast_shingle_hashes(F.col("shingles"))).cast("array<int>"),
+        )
+        return sh.withColumn(
+            "n_tokens", F.size(F.split(F.col("norm"), " "))
+        ).withColumn("n_shingles", F.size("sh_hashes")).select(
+            "file_id", "norm", "sh_hashes", "n_tokens", "n_shingles"
+        )
+
+    prepared_new = store.run(f"e{nxt}_prepared_new", _prepared_new)
+
+    def _sigs_new() -> DataFrame:
+        if use_kernel:
+            from ..functions.kernels import apply_minhash
+
+            sig = apply_minhash(F.col("sh_hashes"), cfg)
+        else:
+            from ..functions.hashing import minhash_expr
+
+            sig = minhash_expr(F.col("sh_hashes"), cfg)
+        return prepared_new.withColumn("minhash", sig).select(
+            "file_id", "n_shingles", "minhash"
+        )
+
+    sigs_new = store.run(f"e{nxt}_signatures_new", _sigs_new)
+
+    def _short_new() -> DataFrame:
+        short = prepared_new.filter(F.col("n_tokens") <= cfg.short_doc_max_tokens)
+        short = short.withColumn("tokens", F.split(F.col("norm"), " "))
+        return add_simhash(short, "tokens", cfg, use_kernel=use_kernel).select(
+            "file_id", "simhash"
+        )
+
+    short_new = store.run(f"e{nxt}_short_new", _short_new)
+
+    # candidates touching a new rep, both blocking paths, verified in one
+    # pass exactly like pipeline._edges
+    def _new_edges() -> DataFrame:
+        sigs_all = sigs_A.unionByName(sigs_new)
+        lsh = candidate_pairs_linkage(
+            sigs_new, sigs_all, "file_id", "minhash", cfg,
+            cap_buckets=True, size_col="n_shingles",
+        ).filter(F.col("id_a") != F.col("id_b"))
+
+        short_all = short_A.unionByName(short_new)
+        chunks_of = lambda df, out: df.select(  # noqa: E731
+            F.col("file_id").alias(out[0]),
+            F.col("simhash").alias(out[1]),
+            F.posexplode(simhash_chunks(F.col("simhash"), cfg)).alias(
+                "chunk_idx", "chunk_val"
+            ),
+        )
+        shp = (
+            chunks_of(short_new, ("id_a", "sim_a"))
+            .join(chunks_of(short_all, ("id_b", "sim_b")), ["chunk_idx", "chunk_val"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                hamming60(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= cfg.simhash_max_hamming)
+            .select("id_a", "id_b")
+        )
+        # normalize pair order (a new×new pair arrives in both orientations)
+        def ordered(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            ).distinct()
+
+        cand = (
+            ordered(lsh).withColumn("m_lsh", F.lit(1)).withColumn("m_short", F.lit(0))
+            .unionByName(
+                ordered(shp).withColumn("m_lsh", F.lit(0)).withColumn("m_short", F.lit(1))
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.max("m_lsh").alias("m_lsh"), F.max("m_short").alias("m_short"))
+        )
+        feats = prepared_A.select("file_id", "sh_hashes").unionByName(
+            prepared_new.select("file_id", "sh_hashes")
+        )
+        scored = jaccard_verify(cand, feats, "file_id", "sh_hashes", cfg, keep_below=True)
+        lsh_ok = (F.col("m_lsh") == 1) & (F.col("jaccard") >= cfg.jaccard_threshold)
+        short_ok = (F.col("m_short") == 1) & (F.col("jaccard") >= SHORT_JACCARD)
+        return scored.filter(lsh_ok | short_ok).select(
+            "id_a", "id_b", "jaccard",
+            F.when(lsh_ok, F.lit("minhash_lsh")).otherwise(F.lit("simhash")).alias("method"),
+        )
+
+    new_edges = store.run(f"e{nxt}_new_edges", _new_edges)
+
+    # ---- promotion: the merged corpus becomes epoch n+1 of the base stages
+    files_all = store.run(
+        stage_name("00_input", nxt), lambda: files_A.unionByName(files_B)
+    )
+    groups_all = store.run(
+        stage_name("01_norm_reps", nxt), lambda: groups_A.unionByName(new_groups)
+    )
+    prepared_all = store.run(
+        stage_name("02_prepared", nxt),
+        lambda: prepared_A.unionByName(prepared_new),
+    )
+    store.run(
+        stage_name("03a_signatures", nxt), lambda: sigs_A.unionByName(sigs_new)
+    )
+    store.run(
+        stage_name("04a_simhash", nxt), lambda: short_A.unionByName(short_new)
+    )
+    # new×new and new×old edges are disjoint from the base's old×old set
+    edges_all = store.run(
+        stage_name("05_edges", nxt), lambda: edges_A.unionByName(new_edges)
+    )
+
+    clusters = store.run(
+        stage_name("06_clusters", nxt),
+        lambda: connected_components(edges_all, "id_a", "id_b"),
+    )
+
+    def _assign() -> DataFrame:
+        nm = (
+            files_all.join(groups_all, "_nmd5")
+            .join(clusters.withColumnRenamed("id", "nrep_id"), "nrep_id", "left")
+            .select(
+                "file_id", "content_sha",
+                F.coalesce(F.col("cluster_id"), F.col("nrep_id")).alias("cluster_id"),
+            )
+        )
+        # canonical labels — min member file_id, which is what the full
+        # pipeline's min-rep labeling resolves to (reps are group minima
+        # there; sticky reps here may not be, so resolve explicitly)
+        canon = nm.groupBy("cluster_id").agg(F.min("file_id").alias("_canon"))
+        return nm.join(canon, "cluster_id").select(
+            "file_id", "content_sha", F.col("_canon").alias("cluster_id")
+        )
+
+    assignments = store.run(stage_name("07_assignments", nxt), _assign)
+    _bump_epoch(root, nxt)
+    return AppendResult(
+        assignments, edges_all, new_edges, n_new, n_batch_rows - n_new, nxt
+    )
