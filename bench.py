@@ -69,6 +69,12 @@ PAIRS: list[tuple[int, int]] = [
 SF1_FILES = int(os.environ.get("CASCADE_BENCH_SF1_FILES", "300000"))
 SF1_N = int(os.environ.get("CASCADE_BENCH_SF1_N", "8"))
 
+# incremental-append leg: base corpus + batch folded in via --append vs a
+# from-scratch run on the union.  Disable with CASCADE_BENCH_APPEND_BASE=0.
+APPEND_BASE_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BASE", "30000"))
+APPEND_BATCH_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BATCH", "3000"))
+APPEND_CORES = int(os.environ.get("CASCADE_BENCH_APPEND_CORES", "8"))
+
 HEADLINE = [
     "doc_near_dup_clusters",
     "doc_minhash_pairs",
@@ -107,6 +113,104 @@ def _synth_parquet(path: str, n_files: int | None = None) -> None:
             os.path.join(path, f"part-{i:04d}.parquet"),
         )
     open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def _synth_append_parquet(
+    base_path: str, batch_path: str, union_path: str, n_base: int, n_batch: int
+) -> None:
+    """One deterministic corpus split into base + batch (batch rows
+    interleaved so planted dup groups straddle the boundary), plus the
+    union for the from-scratch control."""
+    if all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (base_path, batch_path, union_path)
+    ):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_cascade_spark.datagen import generate_code_files
+
+    pdf, _ = generate_code_files(n_base + n_batch, seed=42)
+    every = max((n_base + n_batch) // n_batch, 2)
+    mask = np.arange(len(pdf)) % every == 0
+    for path, part in (
+        (base_path, pdf[~mask]), (batch_path, pdf[mask]), (union_path, pdf)
+    ):
+        os.makedirs(path, exist_ok=True)
+        n_shards = max(len(part) // 500, 1)
+        for i in range(n_shards):
+            pq.write_table(
+                pa.Table.from_pandas(part.iloc[i::n_shards], preserve_index=False),
+                os.path.join(path, f"part-{i:04d}.parquet"),
+            )
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def run_append_bench() -> dict:
+    """Incremental-append receipt: fold a batch into an existing run and
+    compare against re-running from scratch on the union.  The claim under
+    test is the 100 TB one — append cost scales with the BATCH, not the
+    corpus — so the number that matters is the ratio, measured with all
+    three runs back-to-back under identical host conditions.  Walls are
+    the jobs' own reports (JVM startup excluded)."""
+    import shutil
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    tag = f"{APPEND_BASE_FILES}_{APPEND_BATCH_FILES}"
+    base_p = f"/tmp/cascade_bench_append_base_{tag}"
+    batch_p = f"/tmp/cascade_bench_append_batch_{tag}"
+    union_p = f"/tmp/cascade_bench_append_union_{tag}"
+    _synth_append_parquet(base_p, batch_p, union_p, APPEND_BASE_FILES, APPEND_BATCH_FILES)
+    wd = f"/tmp/cascade_bench_append_wd_{tag}"
+    shutil.rmtree(wd, ignore_errors=True)
+
+    def job(*args) -> dict:
+        out = subprocess.run(
+            [sys.executable, "-m", "project_cascade_spark.jobs.dedup_job",
+             "--master", f"local[{APPEND_CORES}]", "--report",
+             "--no-substring-pass", *args],
+            capture_output=True, text=True, check=True, cwd=here,
+        )
+        return json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    wd_full = f"{wd}_fullctl"
+    shutil.rmtree(wd_full, ignore_errors=True)
+    # control = the operational alternative: re-run from scratch on the
+    # union WITH a workdir (a production rerun keeps its checkpoints too —
+    # comparing durable append against a non-durable rerun would charge
+    # append for stage writes the alternative also pays).  The control
+    # runs FIRST, on the freshest box, and the append runs LAST, most
+    # throttled — any run-order bias makes the reported speedup
+    # conservative, not flattering.
+    full = job("--input", union_p, "--workdir", wd_full)
+    time.sleep(COOLDOWN_SMALL_S)
+    base = job("--input", base_p, "--workdir", wd)
+    time.sleep(COOLDOWN_SMALL_S)
+    inc = job("--input", batch_p, "--workdir", wd, "--append")
+
+    # stage work of the append alone, from the store's _state ledger —
+    # the number with the per-action job latency (which amortizes away on
+    # long production runs) excluded
+    import duckdb
+
+    stage_wall = duckdb.query(
+        f"select sum(wall_s) from '{wd}/_state/*.parquet' "
+        "where stage like 'e1%'"
+    ).fetchone()[0]
+    return {
+        "base_files": base["files"], "batch_files": inc["new_files"],
+        "cores": APPEND_CORES,
+        "base_wall_s": base["wall_s"], "append_wall_s": inc["wall_s"],
+        "append_stage_wall_s": round(stage_wall, 2),
+        "full_union_wall_s": full["wall_s"],
+        "append_speedup_vs_full": round(full["wall_s"] / inc["wall_s"], 2),
+        "clusters_append": inc["clusters"], "clusters_full": full["clusters"],
+    }
 
 
 def run_pipeline(master_n: int, input_path: str) -> tuple[int, float]:
@@ -407,6 +511,14 @@ def main() -> None:
             **sf1_report,
         }
 
+    # -- part 1c: incremental-append receipt — also after everything
+    # cross-round-comparable (its metric is a within-leg ratio, robust to
+    # residual throttle from the 10x burst)
+    append_leg = None
+    if APPEND_BASE_FILES:
+        time.sleep(COOLDOWN_SMALL_S)
+        append_leg = run_append_bench()
+
     pipeline: dict = {"files": n_files, "pairs": [list(p) for p in PAIRS]}
     for n in levels:
         best = min(walls[n])
@@ -433,6 +545,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "ann_kernel_dim768": ann768,
         "scale_10x": scale_10x,
+        "append": append_leg,
         "pipeline": pipeline,
     }))
 

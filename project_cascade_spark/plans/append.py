@@ -31,15 +31,20 @@ Exactness: assignments equal a from-scratch run over base ∪ batch
   is exactly what the full pipeline's min-rep labeling resolves to (reps
   are group-minimum ids there), so even labels match, not just structure.
 
-Durability: each append writes a new EPOCH of the base stages
-(`00_input__e<n>`, ...) plus its own batch stages (`e<n>_*`), all through
-StageStore.run — token-validated, resumable mid-append — and bumps the
-`_epoch` marker only after every stage has landed, so a crashed append
-retries cleanly and the previous epoch stays intact.  Re-appending an
-already-appended batch is a no-op (new file_ids are anti-joined against
-the corpus first).  Epochs accumulate as plain parquet dirs; on an Iceberg
-StageStore the same promotion rides snapshots instead of paths
-(sources/sinks.py, jar-gated).
+Durability — the DELTA (LSM/snapshot) model: each append writes ONLY its
+batch's delta stages (`e<n>_batch_files`, `e<n>_prepared_new`, ...) plus
+the recomputed clustering (`e<n>_clusters`, `e<n>_assignments` — edge- and
+hash-only tables), all through StageStore.run — token-validated, resumable
+mid-append — then bumps the `_epoch` marker atomically.  The corpus state
+at epoch n is the UNION of the base stages and every delta ≤ n, assembled
+at read time; nothing corpus-sized is ever rewritten (a first cut promoted
+full merged copies of every stage per epoch — measured SLOWER than a
+from-scratch rerun at 20k files, because rewriting the corpus's shingle
+arrays dwarfs the per-file work the append saves; at 100 TB it would be
+disqualifying).  Re-appending an already-appended batch is a no-op (new
+file_ids are anti-joined against the corpus first).  On an Iceberg
+StageStore the same shape rides table APPENDs + snapshots instead of
+delta dirs (sources/sinks.py, jar-gated).
 
 The long-substring side pass is not maintained incrementally (it is a side
 output, not an input to clustering); run the base job once with the pass
@@ -65,15 +70,36 @@ from ..operators.verify import jaccard_verify
 from ..sources.sinks import StageStore
 from .pipeline import SHORT_JACCARD
 
-# the base stages an append consumes and re-promotes
+# base stage → the per-epoch delta stage holding that table's new rows
 BASE_STAGES = [
     "00_input", "01_norm_reps", "02_prepared",
     "03a_signatures", "04a_simhash", "05_edges",
 ]
+DELTA_OF = {
+    "00_input": "batch_files",
+    "01_norm_reps": "new_groups",
+    "02_prepared": "prepared_new",
+    "03a_signatures": "signatures_new",
+    "04a_simhash": "short_new",
+    "05_edges": "new_edges",
+}
 
 
-def stage_name(stage: str, epoch: int) -> str:
-    return stage if epoch == 0 else f"{stage}__e{epoch}"
+def _delta_name(stage: str, epoch: int) -> str:
+    return f"e{epoch}_{DELTA_OF[stage]}"
+
+
+def _read_state(base: StageStore, stage: str, epoch: int, cols=None) -> DataFrame:
+    """Corpus state of `stage` at `epoch`: base table ∪ every delta ≤ epoch.
+    Deltas are batch-sized, so assembling state is a cheap multi-parquet
+    read — the whole point of the delta model."""
+    df = base.read(stage)
+    if cols:
+        df = df.select(*cols)
+    for e in range(1, epoch + 1):
+        d = base.read(_delta_name(stage, e))
+        df = df.unionByName(d.select(*cols) if cols else d)
+    return df
 
 
 def current_epoch(root: str) -> int:
@@ -103,8 +129,10 @@ def _base_tokens_digest(base: StageStore, epoch: int) -> str:
     across runs)."""
     h = hashlib.sha256()
     for stage in BASE_STAGES:
-        with open(base._token_path(stage_name(stage, epoch))) as f:
-            h.update(f.read().strip().encode())
+        names = [stage] + [_delta_name(stage, e) for e in range(1, epoch + 1)]
+        for name in names:
+            with open(base._token_path(name)) as f:
+                h.update(f.read().strip().encode())
     return h.hexdigest()
 
 
@@ -130,8 +158,11 @@ def append_batch(
     epoch = current_epoch(root)
     base = StageStore(spark, root)  # read-only view of the base stages
 
-    missing = [
-        s for s in BASE_STAGES if not base.exists(stage_name(s, epoch))
+    cl_stage = "06_clusters" if epoch == 0 else f"e{epoch}_clusters"
+    missing = [s for s in BASE_STAGES + [cl_stage] if not base.exists(s)] + [
+        _delta_name(s, e)
+        for e in range(1, epoch + 1) for s in BASE_STAGES
+        if not base.exists(_delta_name(s, e))
     ]
     if missing:
         raise RuntimeError(
@@ -139,12 +170,12 @@ def append_batch(
             f"missing stages at epoch {epoch}: {missing}"
         )
 
-    files_A = base.read(stage_name("00_input", epoch))
-    groups_A = base.read(stage_name("01_norm_reps", epoch))
-    prepared_A = base.read(stage_name("02_prepared", epoch))
-    sigs_A = base.read(stage_name("03a_signatures", epoch))
-    short_A = base.read(stage_name("04a_simhash", epoch))
-    edges_A = base.read(stage_name("05_edges", epoch))
+    files_A = _read_state(base, "00_input", epoch)
+    groups_A = _read_state(base, "01_norm_reps", epoch)
+    prepared_A = _read_state(base, "02_prepared", epoch)
+    sigs_A = _read_state(base, "03a_signatures", epoch)
+    short_A = _read_state(base, "04a_simhash", epoch)
+    edges_A = _read_state(base, "05_edges", epoch)
 
     # the append's own resumable chain: batch identity + base identity.
     # Batch identity is content-derived (order/partition-independent sum of
@@ -186,9 +217,9 @@ def append_batch(
     if n_new == 0:
         # nothing to fold in — current state is already the answer (the
         # base 07 stage carries extra presentation columns at epoch 0)
-        assignments = base.read(stage_name("07_assignments", epoch)).select(
-            "file_id", "content_sha", "cluster_id"
-        )
+        assignments = base.read(
+            "07_assignments" if epoch == 0 else f"e{epoch}_assignments"
+        ).select("file_id", "content_sha", "cluster_id")
         return AppendResult(
             assignments, edges_A, edges_A.limit(0),
             0, n_batch_rows, epoch,
@@ -291,10 +322,19 @@ def append_batch(
             )
             .groupBy("id_a", "id_b")
             .agg(F.max("m_lsh").alias("m_lsh"), F.max("m_short").alias("m_short"))
-        )
+        ).localCheckpoint(eager=True)  # consumed twice: id prefilter + verify
         feats = prepared_A.select("file_id", "sh_hashes").unionByName(
             prepared_new.select("file_id", "sh_hashes")
         )
+        # semi-join prefilter: the verify join's pinned shuffle moves the
+        # whole docs side, but an append only needs the features of ids in
+        # candidate pairs — candidate-sized, not corpus-sized
+        ids = (
+            cand.select(F.col("id_a").alias("file_id"))
+            .unionByName(cand.select(F.col("id_b").alias("file_id")))
+            .distinct()
+        )
+        feats = feats.join(ids, "file_id", "left_semi")
         scored = jaccard_verify(cand, feats, "file_id", "sh_hashes", cfg, keep_below=True)
         lsh_ok = (F.col("m_lsh") == 1) & (F.col("jaccard") >= cfg.jaccard_threshold)
         short_ok = (F.col("m_short") == 1) & (F.col("jaccard") >= SHORT_JACCARD)
@@ -305,32 +345,42 @@ def append_batch(
 
     new_edges = store.run(f"e{nxt}_new_edges", _new_edges)
 
-    # ---- promotion: the merged corpus becomes epoch n+1 of the base stages
-    files_all = store.run(
-        stage_name("00_input", nxt), lambda: files_A.unionByName(files_B)
-    )
-    groups_all = store.run(
-        stage_name("01_norm_reps", nxt), lambda: groups_A.unionByName(new_groups)
-    )
-    prepared_all = store.run(
-        stage_name("02_prepared", nxt),
-        lambda: prepared_A.unionByName(prepared_new),
-    )
-    store.run(
-        stage_name("03a_signatures", nxt), lambda: sigs_A.unionByName(sigs_new)
-    )
-    store.run(
-        stage_name("04a_simhash", nxt), lambda: short_A.unionByName(short_new)
-    )
+    # ---- delta promotion: the batch stages above ARE epoch n+1's deltas;
+    # only the clustering — which must see the merged graph — is written
+    # full, and both its tables are hash-only (edges ≪ files; assignments
+    # ~48 B/row).  Nothing corpus-sized is rewritten.
+    files_all = files_A.unionByName(files_B)
+    groups_all = groups_A.unionByName(new_groups)
     # new×new and new×old edges are disjoint from the base's old×old set
-    edges_all = store.run(
-        stage_name("05_edges", nxt), lambda: edges_A.unionByName(new_edges)
-    )
+    edges_all = edges_A.unionByName(new_edges)
 
-    clusters = store.run(
-        stage_name("06_clusters", nxt),
-        lambda: connected_components(edges_all, "id_a", "id_b"),
-    )
+    def _clusters() -> DataFrame:
+        """Incremental connected components: a component's membership can
+        only change if a NEW edge touches it, so solve CC on the affected
+        subgraph (old components containing a new-edge endpoint, plus the
+        new edges) and carry every other component's labels through
+        unchanged.  Label semantics are preserved — unaffected components
+        already carry their min-member label, affected ones get it from
+        the fresh CC — so the result equals CC over the full merged graph
+        at subgraph cost."""
+        old_cl = base.read("06_clusters" if epoch == 0 else f"e{epoch}_clusters")
+        seed = (
+            new_edges.select(F.col("id_a").alias("id"))
+            .unionByName(new_edges.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        touched = old_cl.join(seed, "id", "left_semi").select("cluster_id").distinct()
+        affected = old_cl.join(touched, "cluster_id", "left_semi").select("id")
+        # an old edge lies inside exactly one component, so one endpoint
+        # decides membership of the whole edge
+        sub = edges_A.join(
+            affected.withColumnRenamed("id", "id_a"), "id_a", "left_semi"
+        ).unionByName(new_edges)
+        solved = connected_components(sub, "id_a", "id_b")
+        kept = old_cl.join(touched, "cluster_id", "left_anti")
+        return kept.unionByName(solved)
+
+    clusters = store.run(f"e{nxt}_clusters", _clusters)
 
     def _assign() -> DataFrame:
         nm = (
@@ -349,7 +399,7 @@ def append_batch(
             "file_id", "content_sha", F.col("_canon").alias("cluster_id")
         )
 
-    assignments = store.run(stage_name("07_assignments", nxt), _assign)
+    assignments = store.run(f"e{nxt}_assignments", _assign)
     _bump_epoch(root, nxt)
     return AppendResult(
         assignments, edges_all, new_edges, n_new, n_batch_rows - n_new, nxt
