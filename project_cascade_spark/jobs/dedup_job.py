@@ -47,8 +47,9 @@ def input_fingerprint(input_arg: str, preset: str, cfg) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="cascade near-dup pipeline")
-    p.add_argument("--input", required=True,
-                   help="parquet path, iceberg table, or synth:<n_files>")
+    p.add_argument("--input", default=None,
+                   help="parquet path, iceberg table, or synth:<n_files> "
+                        "(required except with --compact-to)")
     p.add_argument("--workdir", default=None,
                    help="stage-store root (enables checkpoint/resume)")
     p.add_argument("--master", default=None, help="spark master override")
@@ -62,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                         "merged edge set, and the merged corpus is promoted "
                         "as the next epoch of the workdir (idempotent: "
                         "re-appending the same batch is a no-op)")
+    p.add_argument("--compact-to", default=None, metavar="NEWDIR",
+                   help="LSM compaction: merge --workdir's base + delta "
+                        "epochs into a fresh epoch-0 workdir at NEWDIR "
+                        "(source untouched — crash-safe), then exit")
     p.add_argument("--configs", default=None,
                    help="comma-separated JSON band-config files: sweep the "
                         "cascade filter over each and report the best "
@@ -77,8 +82,21 @@ def main(argv: list[str] | None = None) -> int:
     from project_cascade_spark.sources.tables import load_code_files
 
     cfg = CODE_CONFIG if args.preset == "code" else DEFAULT_CONFIG
+    if args.input is None and not args.compact_to:
+        p.error("--input is required (except with --compact-to)")
     spark = build_session("cascade-dedup", master=args.master)
     t0 = time.time()
+
+    if args.compact_to:
+        if not args.workdir:
+            p.error("--compact-to requires --workdir (the source to compact)")
+        from project_cascade_spark.plans.append import compact
+
+        rep = compact(spark, args.workdir, args.compact_to)
+        if args.report:
+            print(json.dumps({**rep, "wall_s": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
 
     if args.input.startswith("synth:"):
         from project_cascade_spark.datagen import generate_code_files

@@ -404,3 +404,33 @@ def append_batch(
     return AppendResult(
         assignments, edges_all, new_edges, n_new, n_batch_rows - n_new, nxt
     )
+
+
+def compact(spark, root_src: str, root_dst: str) -> dict:
+    """Merge a delta-chained workdir into a fresh epoch-0 workdir — the
+    LSM compaction step.  Deltas keep appends cheap but each epoch adds a
+    union branch to every state read; compaction pays the corpus rewrite
+    ONCE, on demand, into root_dst (the source is never touched, so a
+    crashed compaction cannot lose state — rerun it; Iceberg's
+    rewrite_data_files is the snapshot-native form of the same move).
+
+    The destination serves --append and reads; its stage tokens chain from
+    the SOURCE's token digest (not from a job input fingerprint), so a
+    from-scratch job pointed at root_dst recomputes rather than resuming —
+    compacted dirs are append-owned by construction.
+    """
+    epoch = current_epoch(root_src)
+    base = StageStore(spark, root_src)
+    cl_stage = "06_clusters" if epoch == 0 else f"e{epoch}_clusters"
+    as_stage = "07_assignments" if epoch == 0 else f"e{epoch}_assignments"
+    fp = "compact:" + _base_tokens_digest(base, epoch)
+    dst = StageStore(spark, root_dst, fingerprint=fp)
+    for stage in BASE_STAGES:
+        dst.run(stage, lambda s=stage: _read_state(base, s, epoch))
+    dst.run("06_clusters", lambda: base.read(cl_stage))
+    dst.run(
+        "07_assignments",
+        lambda: base.read(as_stage).select("file_id", "content_sha", "cluster_id"),
+    )
+    n = dst.read("00_input").count()
+    return {"epochs_compacted": epoch, "files": n, "dst": root_dst}

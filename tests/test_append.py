@@ -119,3 +119,49 @@ def test_append_job_cli(tmp_path):
     assert inc["files"] == len(pdf)
     assert inc["new_files"] == len(b) and inc["skipped_existing"] == 0
     assert inc["epoch"] == 1
+
+    # compaction surface: no --input, source untouched, dst at epoch 0
+    rep = run("--compact-to", str(tmp_path / "wd2"))
+    assert rep["epochs_compacted"] == 1 and rep["files"] == len(pdf)
+    from project_cascade_spark.plans.append import current_epoch as ce
+
+    assert ce(str(tmp_path / "wd2")) == 0 and ce(wd) == 1
+
+
+def test_compact_then_append_matches_full_run(spark, tmp_path):
+    """Chain base → append → COMPACT → append; the final assignments must
+    still equal a from-scratch run over all three slices, and the
+    compacted dir must serve appends exactly like the delta-chained one."""
+    from project_cascade_spark.plans.append import compact
+
+    pdf, _ = generate_code_files(300)
+    idx = np.arange(len(pdf))
+    a = pdf[idx % 3 == 0].reset_index(drop=True)
+    b = pdf[idx % 3 == 1].reset_index(drop=True)
+    c = pdf[idx % 3 == 2].reset_index(drop=True)
+    wd, wd2 = str(tmp_path / "wd"), str(tmp_path / "wd_compacted")
+
+    full = _assign_pdf(
+        dedup_pipeline(
+            load_code_files(spark, pdf), CODE_CONFIG, with_substring_pass=False
+        ).assignments
+    )
+
+    store = StageStore(spark, wd, fingerprint="base-a")
+    dedup_pipeline(
+        load_code_files(spark, a), CODE_CONFIG, store=store,
+        with_substring_pass=False,
+    ).assignments.count()
+    append_batch(load_code_files(spark, b), CODE_CONFIG, wd)
+
+    rep = compact(spark, wd, wd2)
+    assert rep["epochs_compacted"] == 1
+    assert rep["files"] == len(a) + len(b)
+    assert current_epoch(wd2) == 0
+
+    res = append_batch(load_code_files(spark, c), CODE_CONFIG, wd2)
+    assert res.epoch == 1
+    inc = _assign_pdf(res.assignments)
+    assert len(inc) == len(full) == len(pdf)
+    assert (inc["file_id"].values == full["file_id"].values).all()
+    assert (inc["cluster_id"].values == full["cluster_id"].values).all()
