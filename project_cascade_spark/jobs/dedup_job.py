@@ -118,12 +118,17 @@ def main(argv: list[str] | None = None) -> int:
             F.count(F.lit(1)).alias("n_files"),
             F.countDistinct("cluster_id").alias("n_clusters"),
         ).crossJoin(res.edges.agg(F.count(F.lit(1)).alias("n_edges"))).first()
+        n_substr = (
+            res.substring_pairs.count()
+            if res.substring_pairs is not None else None
+        )
         wall = time.time() - t0
         if args.report:
             print(json.dumps({
                 "files": stats["n_files"],
                 "clusters": stats["n_clusters"],
                 "dup_edges": stats["n_edges"],
+                "substring_pairs": n_substr,
                 "new_files": res.n_new,
                 "skipped_existing": res.n_skipped,
                 "epoch": res.epoch,

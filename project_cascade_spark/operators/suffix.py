@@ -144,6 +144,69 @@ def fingerprint_anchor_pairs(
     )
 
 
+def fingerprint_anchor_pairs_linkage(
+    df_all: DataFrame,
+    new_ids: DataFrame,
+    id_col: str,
+    fp_col: str,
+    cfg: CascadeConfig,
+    template_filter: bool = True,
+    max_occ_per_doc: int = 16,
+) -> DataFrame:
+    """fingerprint_anchor_pairs restricted to pairs TOUCHING a new document
+    — the incremental-append form.  df_all is the whole corpus's print
+    table (new docs included); new_ids names the new side.
+
+    The occurrence cap and the template filter are computed over the WHOLE
+    corpus, exactly as the self-join form computes them, so the output
+    equals fingerprint_anchor_pairs(df_all) filtered to pairs with a new
+    member — the append path's exactness rests on that.  A new×new pair
+    arrives in both join orientations; anchors are canonicalized to the
+    (id_a < id_b) orientation (positions swap with the ids) and
+    deduplicated before the collect."""
+    fps = df_all.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(fp_col)).alias("p")
+    )
+    fps = fps.select("_id", F.col("p.fp").alias("fp"), F.col("p.pos").alias("pos"))
+    if max_occ_per_doc:
+        w = Window.partitionBy("_id", "fp").orderBy("pos")
+        fps = (
+            fps.withColumn("_occ", F.row_number().over(w))
+            .filter(F.col("_occ") <= max_occ_per_doc)
+            .drop("_occ")
+        )
+    if template_filter and cfg.max_bucket_size:
+        freq = fps.groupBy("fp").agg(F.countDistinct("_id").alias("_df"))
+        fps = (
+            fps.join(freq, "fp")
+            .filter(F.col("_df") <= cfg.max_bucket_size)
+            .drop("_df")
+        )
+    new_fps = fps.join(
+        new_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+    )
+    a = new_fps.select(F.col("_id").alias("ida"), "fp", F.col("pos").alias("pa"))
+    b = fps.select(F.col("_id").alias("idb"), "fp", F.col("pos").alias("pb"))
+    canon = (
+        a.join(b, "fp")
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            F.when(
+                F.col("ida") < F.col("idb"),
+                F.struct(F.col("pa").alias("pos_a"), F.col("pb").alias("pos_b")),
+            ).otherwise(
+                F.struct(F.col("pb").alias("pos_a"), F.col("pa").alias("pos_b"))
+            ).alias("anchor"),
+        )
+        .distinct()
+    )
+    return canon.groupBy("id_a", "id_b").agg(
+        F.collect_list("anchor").alias("anchors")
+    )
+
+
 def fingerprint_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -46,9 +46,20 @@ file_ids are anti-joined against the corpus first).  On an Iceberg
 StageStore the same shape rides table APPENDs + snapshots instead of
 delta dirs (sources/sinks.py, jar-gated).
 
-The long-substring side pass is not maintained incrementally (it is a side
-output, not an input to clustering); run the base job once with the pass
-enabled if the report is needed for the merged corpus.
+The long-substring side pass IS maintained incrementally when the base run
+produced it (auto-detected from the 08a/08 stages; every prior epoch must
+have maintained it too): new representatives get positional prints, anchor
+pairs are generated new-side × all-side with the occurrence cap and the
+MOSS template filter computed over the WHOLE corpus (so the pair set equals
+the full run's, restricted to pairs touching a new file), verified pairs
+land as a per-epoch delta, and the reported side output is the union —
+proven equal to the from-scratch pass in tests/test_append.py.  One scoped
+divergence: already-reported old×old pairs were template-filtered with the
+doc-frequencies of THEIR epoch; if new files later push a print over the
+boilerplate threshold, a from-scratch run would drop some of those old
+pairs while the incremental view keeps them (frequencies freeze per
+increment — the same class of caveat as cap saturation, affecting only the
+heuristic boilerplate guard, never clustering).
 """
 
 from __future__ import annotations
@@ -66,6 +77,11 @@ from ..operators.connected_components import connected_components
 from ..operators.dedup import add_content_hash
 from ..operators.minhash_lsh import candidate_pairs_linkage
 from ..operators.simhash import add_simhash
+from ..operators.suffix import (
+    add_fingerprints_pos,
+    fingerprint_anchor_pairs_linkage,
+    verify_long_substring_anchored,
+)
 from ..operators.verify import jaccard_verify
 from ..sources.sinks import StageStore
 from .pipeline import SHORT_JACCARD
@@ -99,6 +115,29 @@ def _read_state(base: StageStore, stage: str, epoch: int, cols=None) -> DataFram
     for e in range(1, epoch + 1):
         d = base.read(_delta_name(stage, e))
         df = df.unionByName(d.select(*cols) if cols else d)
+    return df
+
+
+def _substring_enabled(base: StageStore, epoch: int) -> bool:
+    """The side pass is maintained iff the base produced it AND every prior
+    epoch maintained it (a chain with a gap cannot produce the full union)."""
+    ok = base.exists("08a_fingerprints_pos") and base.exists("08_substring_pairs")
+    for e in range(1, epoch + 1):
+        ok = ok and base.exists(f"e{e}_fps_new") and base.exists(f"e{e}_substring_new")
+    return ok
+
+
+def _fps_state(base: StageStore, epoch: int) -> DataFrame:
+    df = base.read("08a_fingerprints_pos")
+    for e in range(1, epoch + 1):
+        df = df.unionByName(base.read(f"e{e}_fps_new"))
+    return df
+
+
+def _substring_state(base: StageStore, epoch: int) -> DataFrame:
+    df = base.read("08_substring_pairs")
+    for e in range(1, epoch + 1):
+        df = df.unionByName(base.read(f"e{e}_substring_new"))
     return df
 
 
@@ -144,6 +183,8 @@ class AppendResult:
     n_new: int               # batch files actually added
     n_skipped: int           # batch files already present (idempotent re-append)
     epoch: int               # corpus epoch after this append
+    substring_pairs: DataFrame | None = None  # merged side output, when the
+                                              # base run maintains the pass
 
 
 def append_batch(
@@ -223,6 +264,8 @@ def append_batch(
         return AppendResult(
             assignments, edges_A, edges_A.limit(0),
             0, n_batch_rows, epoch,
+            _substring_state(base, epoch)
+            if _substring_enabled(base, epoch) else None,
         )
 
     # norm groups: sticky reps for existing groups, min batch id for new ones
@@ -354,6 +397,40 @@ def append_batch(
     # new×new and new×old edges are disjoint from the base's old×old set
     edges_all = edges_A.unionByName(new_edges)
 
+    # long-substring side pass, incrementally (when the chain maintains it):
+    # prints for the new reps only; anchor pairs new-side × all-side with
+    # corpus-global occurrence cap + template filter; old×old pairs are the
+    # base/delta stages already on disk
+    substring_view = None
+    if _substring_enabled(base, epoch):
+        fps_new = store.run(
+            f"e{nxt}_fps_new",
+            lambda: add_fingerprints_pos(
+                prepared_new.select("file_id", "norm"), "norm", cfg
+            ).select("file_id", "fps_pos"),
+        )
+
+        def _substr_new() -> DataFrame:
+            fps_all = _fps_state(base, epoch).unionByName(fps_new)
+            cand = fingerprint_anchor_pairs_linkage(
+                fps_all,
+                new_groups.select(F.col("nrep_id").alias("file_id")),
+                "file_id", "fps_pos", cfg, template_filter=True,
+            )
+            # pairs that are also near-dup edges are already reported there
+            fresh = cand.join(
+                edges_all.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+            )
+            texts = prepared_A.select("file_id", "norm").unionByName(
+                prepared_new.select("file_id", "norm")
+            )
+            return verify_long_substring_anchored(
+                fresh, texts, "file_id", "norm", cfg
+            )
+
+        substr_new = store.run(f"e{nxt}_substring_new", _substr_new)
+        substring_view = _substring_state(base, epoch).unionByName(substr_new)
+
     def _clusters() -> DataFrame:
         """Incremental connected components: a component's membership can
         only change if a NEW edge touches it, so solve CC on the affected
@@ -402,7 +479,8 @@ def append_batch(
     assignments = store.run(f"e{nxt}_assignments", _assign)
     _bump_epoch(root, nxt)
     return AppendResult(
-        assignments, edges_all, new_edges, n_new, n_batch_rows - n_new, nxt
+        assignments, edges_all, new_edges, n_new, n_batch_rows - n_new, nxt,
+        substring_view,
     )
 
 
@@ -432,5 +510,8 @@ def compact(spark, root_src: str, root_dst: str) -> dict:
         "07_assignments",
         lambda: base.read(as_stage).select("file_id", "content_sha", "cluster_id"),
     )
+    if _substring_enabled(base, epoch):
+        dst.run("08a_fingerprints_pos", lambda: _fps_state(base, epoch))
+        dst.run("08_substring_pairs", lambda: _substring_state(base, epoch))
     n = dst.read("00_input").count()
     return {"epochs_compacted": epoch, "files": n, "dst": root_dst}

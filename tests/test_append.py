@@ -165,3 +165,39 @@ def test_compact_then_append_matches_full_run(spark, tmp_path):
     assert len(inc) == len(full) == len(pdf)
     assert (inc["file_id"].values == full["file_id"].values).all()
     assert (inc["cluster_id"].values == full["cluster_id"].values).all()
+
+
+def test_append_substring_pass_matches_full_run(spark, tmp_path):
+    """When the base run maintains the long-substring side pass, an append
+    maintains it too, and the merged side output equals the from-scratch
+    pass over the union."""
+    pdf, _ = generate_code_files(240)
+    a, b = _split(pdf)
+    wd = str(tmp_path / "wd")
+
+    def _sub_pdf(df):
+        return (
+            df.select("id_a", "id_b", "lcs_len").toPandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+
+    full_res = dedup_pipeline(
+        load_code_files(spark, pdf), CODE_CONFIG, with_substring_pass=True
+    )
+    full_sub = _sub_pdf(full_res.substring_pairs)
+
+    store = StageStore(spark, wd, fingerprint="base-a")
+    dedup_pipeline(
+        load_code_files(spark, a), CODE_CONFIG, store=store,
+        with_substring_pass=True,
+    ).assignments.count()
+
+    res = append_batch(load_code_files(spark, b), CODE_CONFIG, wd)
+    assert res.substring_pairs is not None
+    inc_sub = _sub_pdf(res.substring_pairs)
+
+    assert len(full_sub) > 0  # datagen plants shared-block groups
+    assert inc_sub.equals(full_sub)
+
+    # assignments stay label-exact with the pass enabled too
+    assert _assign_pdf(res.assignments).equals(_assign_pdf(full_res.assignments))
