@@ -81,6 +81,7 @@ HEADLINE = [
     "doc_simhash_pairs",
     "emb_topk",
     "emb_ann_ivf",
+    "emb_ann_lsh",
     "match_stats",
     "cluster_sizes_window",
     "events_windowed_agg",
