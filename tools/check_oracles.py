@@ -35,8 +35,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # data-derived oracle literals (the trained IVF centroids) must come
+    # from the SAME tables the Spark side reads, or emb_ann_ivf diverges
+    # whenever this mirror runs at a different scale than the driver's gate
+    os.environ.setdefault("SPARK_GRAFT_GATE_SF_DIR", sf_dir)
     spark = build_session("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
