@@ -1,24 +1,47 @@
 """Benchmark harness (driver contract + scaling evidence).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "pipeline": {"files": N, "files_per_sec_n8": ..., "files_per_sec_n32": ...,
-                "scaling_efficiency_8_to_32": ...}}
+Prints the result JSON line INCREMENTALLY: a complete, parseable line is
+(re)emitted after every finished leg, each a superset of the previous one,
+so the receipt that exists at any kill point is whatever had finished —
+round 4's lesson, where a single end-of-run print met the driver's timeout
+and produced an empty official artifact (BENCH_r04.json rc=124).  A
+SIGTERM/SIGINT handler re-emits the current snapshot on the way out.
 
-Two parts:
-1. headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR (default
-   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
-2. the end-to-end code_files dedup pipeline on a deterministic synthetic
-   table, run at local[N] and local[4N] on identical input — the sandbox
-   proxy for the BASELINE.json two-cluster-size scaling rule (throughput at
-   both + efficiency = T_4N / (4 * T_N)).
+Result shape:
+  {"metric": "...", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline": {...walls + scaling efficiencies per N→4N pair...},
+   "append": {...per-epoch fold walls + compaction...},
+   "ann_kernel_dim768": {...} | "skipped...", "scale_10x": {...} | "skipped..."}
+
+Leg order (and why):
+1. headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] —
+   FIRST, on the freshest box: these are the cross-round-comparable walls,
+   and the burst is short enough (<1 min of 32-thread work) that a single
+   cool-down restores the box for the scaling legs.
+2. the N→4N scaling pairs on the synthetic code_files corpus — the sandbox
+   proxy for the BASELINE.json two-cluster-size rule (throughput at both
+   levels + efficiency = T_4N/(4*T_N)).  1→4 runs at 30k files (the pair
+   inside this host's linear region; historically repeats to <=8%, so one
+   rep per level — still symmetric); 2→8 runs at 100k files × 2 reps:
+   round-3 measurement showed 30k is below the 8-way strong-scaling knee
+   (0.62 at 30k vs 0.77 at 100k against a 0.52-0.95 host ceiling band), so
+   the permanent receipt is now the corpus size that measures the job, not
+   the knee (round-4 verdict #2).
+3. the incremental-append chain: base → 3 epoch folds → compact, vs a
+   from-scratch control on the union — per-epoch walls must stay flat
+   (∝ batch) while the corpus grows (round-4 verdict #6).
+4. budget-gated long legs (dim-768 ANN comparison, 300k-file 10× leg):
+   run only when elapsed + estimate fits CASCADE_BENCH_BUDGET_S, otherwise
+   recorded as skipped with a pointer to BENCH/BASELINE.md, where the
+   builder's full runs (budget=0 = unlimited) keep the receipts current.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -26,53 +49,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 30k files: large enough that fixed per-stage overhead (~10s) is small
-# against the parallel fraction, small enough that 8 concurrent workers
-# stay out of memory-pressure territory (at 40k the per-stage scaling
-# ratios measurably degrade at local[8]: 3.6 -> 3.2-3.5).
-PIPELINE_FILES = int(os.environ.get("CASCADE_BENCH_FILES", "30000"))
-# Walls fluctuate with host interference (±15% on local[8], ±5% on
-# local[2]; single stages occasionally double).  Each leg is measured REPS
-# times and the best wall kept: interference is one-sided (only ever adds
-# time), so min() measures the job rather than the neighbors.  EVERY level
-# gets the same rep count — min-of-reps is only a symmetric estimator when
-# all legs get the same number of draws (round-2 advice).
-BIG_REPS = int(os.environ.get("CASCADE_BENCH_BIG_REPS", "2"))
-# The sandbox CPU throttles under sustained load and recovers when idle
-# (measured: a fixed single-thread numpy probe runs 1.18s on a rested box,
-# 1.42s right after a long multi-core burst; a local[4] pipeline leg runs
-# ~150s rested vs ~195s right after a 32-core burst).  Every timed leg is
-# preceded by a cool-down — longer before the multi-core legs, which are
-# the throttle-sensitive ones — and the scaling legs run BEFORE the
-# 32-core headline queries, so no leg inherits their depletion.
-COOLDOWN_BIG_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_BIG_S", "150"))
-COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "60"))
-# N→4N proxy pairs.  NOT 8→32: a multiprocessing microbenchmark (see
-# BENCH/BASELINE.md) shows this sandbox delivers only ~6.5 effective cores
-# (32 procs run at 0.2 efficiency; 8 procs at 0.82), so 8→32 scaling is
-# physically unavailable.  1→4 is the N→4N pair fully inside the
-# hardware's linear region: the box's own per-core ceiling is 0.87 at 4
-# procs but only 0.80 at 8 (shared L3/bandwidth contention that separate
-# executors on a real cluster would not share) — measured fresh-box raw
-# efficiency is ~0.71-0.75 for 2→8 vs ~0.81-0.85 for 1→4 on the SAME
-# plan.  BOTH pairs run every round (round-3 verdict #7) so changes
-# cannot silently regress either receipt.
-PAIRS: list[tuple[int, int]] = [
-    tuple(int(x) for x in p.split(":"))
-    for p in os.environ.get("CASCADE_BENCH_PAIRS", "1:4,2:8").split(",")
-]
-# 10x scale-up leg (sf1-equivalent: 300k files vs the 30k scaling legs),
-# single parallelism level, run once: evidences the skew guards and the
-# hash-only working set where they matter — per-stage task-skew ratios,
-# peak shuffle bytes, and max single-task input recorded from the Spark
-# REST API.  Disable with CASCADE_BENCH_SF1_FILES=0.
+# Per-pair spec: a:b@files x reps.  30k files: large enough that fixed
+# per-stage overhead (~10s) is small against the parallel fraction at <=4
+# cores.  100k: the smallest size round 3 measured to be past the 8-way
+# strong-scaling knee on this host.
+PAIRS_SPEC = os.environ.get(
+    "CASCADE_BENCH_PAIRS", "1:4@30000x1,2:8@100000x2"
+)
+# The sandbox CPU throttles under sustained multi-core load and recovers
+# when idle (measured: a fixed single-thread numpy probe runs 1.18s rested
+# vs 1.42s right after a 32-core burst).  Multi-core legs get a cool-down
+# first; 1-2 core legs neither need nor benefit from one (they follow a
+# low-intensity leg and barely heat the box).
+COOLDOWN_BIG_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_BIG_S", "60"))
+COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "15"))
+# Soft wall-clock budget (seconds) for the whole bench: optional legs are
+# skipped when elapsed + estimate would cross it.  The driver's timeout is
+# ~1h; 3350 leaves headroom for emission + teardown.  0 = unlimited (the
+# builder's full-receipt runs).
+BUDGET_S = int(os.environ.get("CASCADE_BENCH_BUDGET_S", "3350"))
+# 10x scale-up leg (300k files): evidences the skew guards and hash-only
+# working set where they matter.  Disable with CASCADE_BENCH_SF1_FILES=0.
 SF1_FILES = int(os.environ.get("CASCADE_BENCH_SF1_FILES", "300000"))
 SF1_N = int(os.environ.get("CASCADE_BENCH_SF1_N", "8"))
-
-# incremental-append leg: base corpus + batch folded in via --append vs a
+# Rested-rerun rule (round-4 verdict #3): if the 10x wall regresses >15%
+# vs the recorded prior-round rested wall, cool down and run it again,
+# recording BOTH walls — a single throttle-suspect rep is not a receipt.
+PREV_10X_WALL_S = float(os.environ.get("CASCADE_BENCH_PREV_10X_WALL_S", "742"))
+# incremental-append chain: base + N_EPOCHS batch folds + compact vs a
 # from-scratch run on the union.  Disable with CASCADE_BENCH_APPEND_BASE=0.
-APPEND_BASE_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BASE", "30000"))
-APPEND_BATCH_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BATCH", "3000"))
+APPEND_BASE_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BASE", "12000"))
+APPEND_BATCH_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BATCH", "1200"))
+APPEND_EPOCHS = int(os.environ.get("CASCADE_BENCH_APPEND_EPOCHS", "3"))
 APPEND_CORES = int(os.environ.get("CASCADE_BENCH_APPEND_CORES", "8"))
 
 HEADLINE = [
@@ -88,24 +96,86 @@ HEADLINE = [
 ]
 
 
-def _synth_parquet(path: str, n_files: int | None = None) -> None:
+def parse_pairs(spec: str):
+    """[(a, b, files, reps)].  Legacy form 'a:b' (no @) takes 30000x2."""
+    out = []
+    for part in spec.split(","):
+        ab, _, rest = part.partition("@")
+        a, b = (int(x) for x in ab.split(":"))
+        if rest:
+            files_s, _, reps_s = rest.partition("x")
+            out.append((a, b, int(files_s), int(reps_s or "2")))
+        else:
+            out.append((a, b, 30000, 2))
+    return out
+
+
+PAIRS = parse_pairs(PAIRS_SPEC)
+
+# ---------------------------------------------------------------- emission
+
+T_START = time.time()
+RESULT: dict = {
+    "metric": "end_to_end_dedup_bench",
+    "value": 0.0,
+    "unit": "sec",
+    "queries": {},
+    "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    "pipeline": None,
+    "append": None,
+    "ann_kernel_dim768": None,
+    "scale_10x": None,
+    "legs_completed": [],
+}
+
+
+def emit() -> None:
+    """Print the current cumulative snapshot as ONE JSON line.  Called
+    after every finished leg; each emission supersedes the previous, so
+    the last parseable line in the captured output is always the most
+    complete receipt that existed."""
+    RESULT["elapsed_s"] = round(time.time() - T_START, 1)
+    sys.stdout.write(json.dumps(RESULT) + "\n")
+    sys.stdout.flush()
+
+
+def _die(signum, frame):  # noqa: ARG001
+    RESULT["killed_by_signal"] = signum
+    emit()
+    sys.exit(128 + signum)
+
+
+signal.signal(signal.SIGTERM, _die)
+signal.signal(signal.SIGINT, _die)
+
+
+def elapsed() -> float:
+    return time.time() - T_START
+
+
+def budget_allows(estimate_s: float) -> bool:
+    return BUDGET_S <= 0 or elapsed() + estimate_s <= BUDGET_S
+
+
+# ---------------------------------------------------------------- synth
+
+def _synth_parquet(path: str, n_files: int) -> None:
     """Materialize the synthetic code_files table once (datagen excluded
     from the timed pipeline)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    import pandas as pd  # noqa: F401
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from project_cascade_spark.datagen import generate_code_files
 
-    pdf, _ = generate_code_files(n_files or PIPELINE_FILES, seed=42)
+    pdf, _ = generate_code_files(n_files, seed=42)
     os.makedirs(path, exist_ok=True)
     # many SMALL files → the content scan + hash stage parallelizes and
     # load-balances at every leg (a single-row-group parquet is one task
     # no matter how many cores; 500-row shards give the n-core legs many
-    # waves of short tasks).  A real 100 TB corpus is likewise
-    # many-part — this mirrors production layout, not a bench trick.
+    # waves of short tasks).  A real 100 TB corpus is likewise many-part —
+    # this mirrors production layout, not a bench trick.
     n_shards = max(len(pdf) // 500, 1)
     for i in range(n_shards):
         shard = pdf.iloc[i::n_shards]
@@ -116,103 +186,13 @@ def _synth_parquet(path: str, n_files: int | None = None) -> None:
     open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
-def _synth_append_parquet(
-    base_path: str, batch_path: str, union_path: str, n_base: int, n_batch: int
-) -> None:
-    """One deterministic corpus split into base + batch (batch rows
-    interleaved so planted dup groups straddle the boundary), plus the
-    union for the from-scratch control."""
-    if all(
-        os.path.exists(os.path.join(p, "_SUCCESS"))
-        for p in (base_path, batch_path, union_path)
-    ):
-        return
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from project_cascade_spark.datagen import generate_code_files
-
-    pdf, _ = generate_code_files(n_base + n_batch, seed=42)
-    every = max((n_base + n_batch) // n_batch, 2)
-    mask = np.arange(len(pdf)) % every == 0
-    for path, part in (
-        (base_path, pdf[~mask]), (batch_path, pdf[mask]), (union_path, pdf)
-    ):
-        os.makedirs(path, exist_ok=True)
-        n_shards = max(len(part) // 500, 1)
-        for i in range(n_shards):
-            pq.write_table(
-                pa.Table.from_pandas(part.iloc[i::n_shards], preserve_index=False),
-                os.path.join(path, f"part-{i:04d}.parquet"),
-            )
-        open(os.path.join(path, "_SUCCESS"), "w").close()
+def corpus_path(n_files: int) -> str:
+    p = f"/tmp/cascade_bench_input_{n_files}_s500"
+    _synth_parquet(p, n_files)
+    return p
 
 
-def run_append_bench() -> dict:
-    """Incremental-append receipt: fold a batch into an existing run and
-    compare against re-running from scratch on the union.  The claim under
-    test is the 100 TB one — append cost scales with the BATCH, not the
-    corpus — so the number that matters is the ratio, measured with all
-    three runs back-to-back under identical host conditions.  Walls are
-    the jobs' own reports (JVM startup excluded)."""
-    import shutil
-    import subprocess
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    tag = f"{APPEND_BASE_FILES}_{APPEND_BATCH_FILES}"
-    base_p = f"/tmp/cascade_bench_append_base_{tag}"
-    batch_p = f"/tmp/cascade_bench_append_batch_{tag}"
-    union_p = f"/tmp/cascade_bench_append_union_{tag}"
-    _synth_append_parquet(base_p, batch_p, union_p, APPEND_BASE_FILES, APPEND_BATCH_FILES)
-    wd = f"/tmp/cascade_bench_append_wd_{tag}"
-    shutil.rmtree(wd, ignore_errors=True)
-
-    def job(*args) -> dict:
-        out = subprocess.run(
-            [sys.executable, "-m", "project_cascade_spark.jobs.dedup_job",
-             "--master", f"local[{APPEND_CORES}]", "--report",
-             "--no-substring-pass", *args],
-            capture_output=True, text=True, check=True, cwd=here,
-        )
-        return json.loads(
-            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        )
-
-    wd_full = f"{wd}_fullctl"
-    shutil.rmtree(wd_full, ignore_errors=True)
-    # control = the operational alternative: re-run from scratch on the
-    # union WITH a workdir (a production rerun keeps its checkpoints too —
-    # comparing durable append against a non-durable rerun would charge
-    # append for stage writes the alternative also pays).  The control
-    # runs FIRST, on the freshest box, and the append runs LAST, most
-    # throttled — any run-order bias makes the reported speedup
-    # conservative, not flattering.
-    full = job("--input", union_p, "--workdir", wd_full)
-    time.sleep(COOLDOWN_SMALL_S)
-    base = job("--input", base_p, "--workdir", wd)
-    time.sleep(COOLDOWN_SMALL_S)
-    inc = job("--input", batch_p, "--workdir", wd, "--append")
-
-    # stage work of the append alone, from the store's _state ledger —
-    # the number with the per-action job latency (which amortizes away on
-    # long production runs) excluded
-    import duckdb
-
-    stage_wall = duckdb.query(
-        f"select sum(wall_s) from '{wd}/_state/*.parquet' "
-        "where stage like 'e1%'"
-    ).fetchone()[0]
-    return {
-        "base_files": base["files"], "batch_files": inc["new_files"],
-        "cores": APPEND_CORES,
-        "base_wall_s": base["wall_s"], "append_wall_s": inc["wall_s"],
-        "append_stage_wall_s": round(stage_wall, 2),
-        "full_union_wall_s": full["wall_s"],
-        "append_speedup_vs_full": round(full["wall_s"] / inc["wall_s"], 2),
-        "clusters_append": inc["clusters"], "clusters_full": full["clusters"],
-    }
-
+# ---------------------------------------------------------------- pipeline legs
 
 def run_pipeline(master_n: int, input_path: str) -> tuple[int, float]:
     """(files, wall seconds) for one full pipeline run at local[N]."""
@@ -246,6 +226,27 @@ def run_pipeline(master_n: int, input_path: str) -> tuple[int, float]:
     wall = time.time() - t0
     spark.stop()
     return n, wall
+
+
+def run_pipeline_subprocess(master_n: int, input_path: str) -> tuple[int, float]:
+    """run_pipeline in a fresh process — a second SparkSession in the same
+    JVM measures ~20% slow (leftover GC pressure + degraded code cache),
+    which would corrupt the scaling comparison."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, %r); from bench import run_pipeline; "
+        "n, w = run_pipeline(%d, %r); print('RESULT', n, w)"
+        % (os.path.dirname(os.path.abspath(__file__)), master_n, input_path)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, n, w = line.split()
+            return int(n), float(w)
+    raise RuntimeError(f"no RESULT line in subprocess output: {out.stdout[-500:]}")
 
 
 def stage_skew_report(spark) -> dict:
@@ -347,49 +348,149 @@ def run_pipeline_scale_subprocess(master_n: int, input_path: str) -> tuple[int, 
     raise RuntimeError(f"no RESULT_SF1 line: {out.stdout[-500:]}")
 
 
-def run_pipeline_subprocess(master_n: int, input_path: str) -> tuple[int, float]:
-    """run_pipeline in a fresh process — a second SparkSession in the same
-    JVM measures ~20% slow (leftover GC pressure + degraded code cache),
-    which would corrupt the scaling comparison."""
+# ---------------------------------------------------------------- append leg
+
+def _synth_append_parquet(n_base: int, n_batch: int, n_epochs: int) -> dict:
+    """One deterministic corpus split into base + n_epochs batches (batch
+    rows interleaved so planted dup groups straddle every boundary), plus
+    the full union for the from-scratch control.  Returns the paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_cascade_spark.datagen import generate_code_files
+
+    tag = f"{n_base}_{n_batch}x{n_epochs}"
+    paths = {
+        "base": f"/tmp/cascade_bench_append_base_{tag}",
+        "union": f"/tmp/cascade_bench_append_union_{tag}",
+        **{f"batch{i}": f"/tmp/cascade_bench_append_b{i}_{tag}"
+           for i in range(n_epochs)},
+    }
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()):
+        return paths
+    import numpy as np
+
+    total = n_base + n_epochs * n_batch
+    pdf, _ = generate_code_files(total, seed=42)
+    # round-robin slice: rows i with i % total_slices < n_epochs go to
+    # batch (i % total_slices), the rest to base — every batch interleaves
+    # with the base across the whole corpus
+    slices = max(total // n_batch, n_epochs + 1)
+    pos = np.arange(len(pdf)) % slices
+    parts = {"base": pdf[pos >= n_epochs], "union": pdf}
+    for i in range(n_epochs):
+        parts[f"batch{i}"] = pdf[pos == i]
+    for name, part in parts.items():
+        path = paths[name]
+        os.makedirs(path, exist_ok=True)
+        n_shards = max(len(part) // 500, 1)
+        for i in range(n_shards):
+            pq.write_table(
+                pa.Table.from_pandas(part.iloc[i::n_shards], preserve_index=False),
+                os.path.join(path, f"part-{i:04d}.parquet"),
+            )
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return paths
+
+
+def run_append_bench() -> None:
+    """Incremental-append receipt, multi-epoch (round-4 verdict #6): fold
+    APPEND_EPOCHS batches into a base run one epoch at a time, then
+    compact, against a from-scratch control on the full union.  The 100 TB
+    claim under test: per-epoch fold cost stays flat (∝ batch) while the
+    corpus grows.  Walls are the jobs' own reports (JVM startup excluded);
+    the control runs FIRST, on the freshest box, so the reported speedup
+    is conservative.  Updates RESULT["append"] and emits after every
+    sub-job so a timeout never erases finished epochs."""
+    import shutil
     import subprocess
 
-    code = (
-        "import sys; sys.path.insert(0, %r); from bench import run_pipeline; "
-        "n, w = run_pipeline(%d, %r); print('RESULT', n, w)"
-        % (os.path.dirname(os.path.abspath(__file__)), master_n, input_path)
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = _synth_append_parquet(APPEND_BASE_FILES, APPEND_BATCH_FILES, APPEND_EPOCHS)
+    wd = f"/tmp/cascade_bench_append_wd_{APPEND_BASE_FILES}_{APPEND_BATCH_FILES}x{APPEND_EPOCHS}"
+    wd_full, wd_c = f"{wd}_fullctl", f"{wd}_compacted"
+    for d in (wd, wd_full, wd_c):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def job(*args) -> dict:
+        out = subprocess.run(
+            [sys.executable, "-m", "project_cascade_spark.jobs.dedup_job",
+             "--master", f"local[{APPEND_CORES}]", "--report", *args],
+            capture_output=True, text=True, check=True, cwd=here,
+        )
+        return json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    leg: dict = {
+        "base_files": APPEND_BASE_FILES, "batch_files": APPEND_BATCH_FILES,
+        "epochs": APPEND_EPOCHS, "cores": APPEND_CORES,
+        "epoch_walls_s": [], "epoch_stage_walls_s": [],
+    }
+    RESULT["append"] = leg
+
+    # control = the operational alternative: re-run from scratch on the
+    # union WITH a workdir (a production rerun keeps its checkpoints too —
+    # comparing durable append against a non-durable rerun would charge
+    # append for stage writes the alternative also pays).
+    full = job("--input", paths["union"], "--workdir", wd_full,
+               "--no-substring-pass")
+    leg["full_union_wall_s"] = full["wall_s"]
+    leg["clusters_full"] = full["clusters"]
+    emit()
+
+    time.sleep(COOLDOWN_SMALL_S)
+    base = job("--input", paths["base"], "--workdir", wd, "--no-substring-pass")
+    leg["base_wall_s"] = base["wall_s"]
+    emit()
+
+    import duckdb
+
+    for i in range(APPEND_EPOCHS):
+        time.sleep(COOLDOWN_SMALL_S)
+        inc = job("--input", paths[f"batch{i}"], "--workdir", wd, "--append")
+        leg["epoch_walls_s"].append(inc["wall_s"])
+        # stage work of the epoch alone from the store's _state ledger —
+        # per-action job latency (which amortizes away on long production
+        # runs) excluded
+        stage_wall = duckdb.query(
+            f"select sum(wall_s) from '{wd}/_state/*.parquet' "
+            f"where stage like 'e{i + 1}%'"
+        ).fetchone()[0]
+        leg["epoch_stage_walls_s"].append(round(stage_wall, 2))
+        leg["clusters_final"] = inc["clusters"]
+        leg["files_final"] = inc["files"]
+        emit()
+
+    comp = job("--workdir", wd, "--compact-to", wd_c)
+    leg["compact_wall_s"] = comp["wall_s"]
+    leg["append_speedup_vs_full"] = round(
+        leg["full_union_wall_s"] / leg["epoch_walls_s"][-1], 2
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT"):
-            _, n, w = line.split()
-            return int(n), float(w)
-    raise RuntimeError(f"no RESULT line in subprocess output: {out.stdout[-500:]}")
+    emit()
 
 
-def ann_kernel_bench(spark) -> dict:
-    """Round-3 verdict's named scale-killer, measured at a REALISTIC
-    embedding dim (768).  What profiling actually found (receipts in
-    BENCH/BASELINE.md): the 'interpreted HOF' premise was a plan artifact —
-    the 33 s expression-path wall was 561k cosines AQE-coalesced onto 4
-    tasks, and Spark 4's fold evaluates ~6 ns/element, FASTER than the
-    ~10 ns/element JVM→Arrow conversion per-pair scoring would pay.  So the
-    shipped design: parallelism floor + hoisted norms on the expression
-    scorer, Arrow kernels where the transfer amortizes per VECTOR
-    (one-scan SRP bucketing, IVF assignment).  expr vs kernel below are the
-    two candidate-generation paths (both score with the expression);
-    score_expr vs score_arrow isolate the per-pair scorer choice.
-    Bit-identical outputs throughout (tests/test_kernels_parity.py)."""
+# ---------------------------------------------------------------- ANN leg
+
+def ann_kernel_bench() -> dict:
+    """dim-768 ANN receipts: the two candidate-generation paths (expression
+    scans vs the one-scan Arrow kernels) and the isolated per-pair scorer
+    (JVM fold vs Arrow) — the measurements behind the kernel-vs-expression
+    division of labor (see BENCH/BASELINE.md round-4 investigation:
+    per-pair Arrow scoring LOSES to the JVM fold because JVM→Arrow
+    transfer dominates; once-per-vector kernels win 2-8x).  Bit-identical
+    outputs throughout (tests/test_kernels_parity.py)."""
     import numpy as np
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
     from project_cascade_spark.operators.similarity import (
         ivf_topk,
         srp_lsh_topk,
         train_ivf_centroids,
     )
+    from project_cascade_spark.session import build_session
 
+    spark = build_session("cascade-ann768", master=f"local[{CPUS}]")
     rng = np.random.RandomState(7)
     n, dim = int(os.environ.get("CASCADE_BENCH_ANN_N", "1500")), 768
     vecs = rng.randn(n, dim)
@@ -445,63 +546,108 @@ def ann_kernel_bench(spark) -> dict:
     )
     joined.unpersist()
     emb.unpersist()
+    spark.stop()
     return out
 
 
+# ---------------------------------------------------------------- main
+
 def main() -> None:
-    synth_path = f"/tmp/cascade_bench_input_{PIPELINE_FILES}_s500"
-    _synth_parquet(synth_path)
-    sf1_path = None
-    if SF1_FILES:
-        sf1_path = f"/tmp/cascade_bench_input_{SF1_FILES}_s500"
-        _synth_parquet(sf1_path, SF1_FILES)
-
-    # -- part 1: pipeline at every level of every N→4N pair on identical
-    # input, fresh process each.  Runs FIRST (freshest box) with levels
-    # INTERLEAVED within each rep round (descending core count) so any
-    # residual slow drift in host speed hits all levels symmetrically
-    # instead of biasing whichever leg runs last.  EQUAL rep counts per
-    # level keep min-of-reps a symmetric estimator.
-    levels = sorted({n for pair in PAIRS for n in pair}, reverse=True)
-    walls: dict[int, list[float]] = {n: [] for n in levels}
-    n_files = 0
-    for _rep in range(BIG_REPS):
-        for n in levels:
-            time.sleep(COOLDOWN_BIG_S if n >= 4 else COOLDOWN_SMALL_S)
-            n_files, w = run_pipeline_subprocess(n, synth_path)
-            walls[n].append(w)
-
-    # -- part 2: headline queries at SF_DIR (32 threads).  BEFORE the 10x
-    # leg: its ~12-minute 8-core burst throttles the box harder than one
-    # cool-down recovers (r3 measured doc_near_dup_clusters 31.9 s
-    # post-burst vs 14.6 s rested), and query walls measured on a
-    # throttled box are not comparable across rounds (the r2 emb_topk
-    # "regression" was the same artifact).  Cool-down first — the scaling
-    # pair just ran.
-    time.sleep(COOLDOWN_BIG_S)
+    # -- leg 1: headline queries at SF_DIR (32 threads), freshest box
     from project_cascade_spark.session import build_session
 
     import __spark_entry__ as entrymod
 
     spark = build_session("cascade-bench", master=f"local[{CPUS}]")
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-    # dim-768 ANN scorer comparison (expr vs kernel candidate paths + the
-    # isolated pair scorer) — same session, short
-    ann768 = ann_kernel_bench(spark)
+        RESULT["queries"][name] = round(time.time() - t0, 3)
+        RESULT["value"] = round(sum(RESULT["queries"].values()), 3)
+        emit()
     spark.stop()
+    RESULT["legs_completed"].append("headline")
+    emit()
 
-    # -- part 1b: the 10x scale leg (single level, one rep) — runs LAST:
-    # nothing timed follows it, so its long burst can throttle nothing.
-    # Its own wall absorbs any residual drift from the short query suite
-    # (mild inflation acceptable — this leg's purpose is the skew ledger
-    # and data-size linearity, not a cross-round wall).
-    scale_10x = None
-    if sf1_path:
+    # -- leg 2: the N→4N scaling pairs, fresh process per leg, levels
+    # interleaved within each rep round (descending core count) so any
+    # residual slow drift in host speed hits all levels symmetrically.
+    # Walls fluctuate with host interference (one-sided — it only ever
+    # adds time), so each level keeps the best of its reps; a pair's
+    # efficiency uses the SAME number of reps from both levels (min-of-k
+    # stays a symmetric estimator even if a kill truncates the last round).
+    legs: list[tuple[int, int, str]] = []   # (level, files, pair_tag)
+    max_reps = max(r for *_a, r in PAIRS)
+    for rep in range(max_reps):
+        round_legs = sorted(
+            {(lvl, files) for a, b, files, reps in PAIRS
+             for lvl in (a, b) if rep < reps},
+            key=lambda t: -t[0],
+        )
+        legs += [(lvl, files, rep) for lvl, files in round_legs]
+
+    walls: dict[tuple[int, int], list[float]] = {}
+    n_files_of: dict[int, int] = {}
+    pipeline: dict = {
+        "pairs": [f"{a}:{b}@{f}x{r}" for a, b, f, r in PAIRS],
+        "hardware_note": (
+            "sandbox delivers ~6.5 effective cores; each leg is "
+            "best-of-reps (host interference is one-sided); 2->8 sits "
+            "against the measured 0.80 shared-L3 per-core ceiling of this "
+            "box; see BENCH/BASELINE.md"
+        ),
+    }
+    RESULT["pipeline"] = pipeline
+
+    def recompute_pipeline() -> None:
+        for (lvl, files), ws in walls.items():
+            best = min(ws)
+            pipeline[f"wall_s_n{lvl}_f{files}"] = round(best, 2)
+            pipeline[f"files_per_sec_n{lvl}_f{files}"] = round(files / best, 1)
+            pipeline[f"wall_s_n{lvl}_f{files}_all_reps"] = [round(w, 2) for w in ws]
+        for a, b, files, _reps in PAIRS:
+            wa, wb = walls.get((a, files)), walls.get((b, files))
+            if not wa or not wb:
+                continue
+            k = min(len(wa), len(wb))
+            eff = (files / min(wb[:k])) / ((b / a) * (files / min(wa[:k])))
+            pipeline[f"scaling_efficiency_{a}_to_{b}_f{files}"] = round(eff, 3)
+            pipeline[f"scaling_reps_used_{a}_to_{b}_f{files}"] = k
+
+    for lvl, files, _rep in legs:
+        path = corpus_path(files)
+        time.sleep(COOLDOWN_BIG_S if lvl >= 4 else COOLDOWN_SMALL_S)
+        n, w = run_pipeline_subprocess(lvl, path)
+        n_files_of[files] = n
+        walls.setdefault((lvl, files), []).append(w)
+        recompute_pipeline()
+        RESULT["value"] = round(
+            sum(RESULT["queries"].values())
+            + sum(min(ws) for ws in walls.values()), 3,
+        )
+        emit()
+    RESULT["legs_completed"].append("scaling_pairs")
+    emit()
+
+    # -- leg 3: incremental-append chain (emits per sub-job internally)
+    if APPEND_BASE_FILES:
+        run_append_bench()
+        RESULT["legs_completed"].append("append")
+        emit()
+
+    # -- budget-gated long legs.  Estimates are generous prior-round
+    # walls; skipped legs point at BENCH/BASELINE.md, where the builder's
+    # full runs (CASCADE_BENCH_BUDGET_S=0) keep the receipts current.
+    if budget_allows(300):
+        RESULT["ann_kernel_dim768"] = ann_kernel_bench()
+        RESULT["legs_completed"].append("ann768")
+    else:
+        RESULT["ann_kernel_dim768"] = "skipped_for_budget (see BENCH/BASELINE.md)"
+    emit()
+
+    if SF1_FILES and budget_allows(1300):
+        sf1_path = corpus_path(SF1_FILES)
         time.sleep(COOLDOWN_BIG_S)
         sf1_n, sf1_wall, sf1_report = run_pipeline_scale_subprocess(SF1_N, sf1_path)
         scale_10x = {
@@ -511,44 +657,24 @@ def main() -> None:
             "files_per_sec": round(sf1_n / sf1_wall, 1),
             **sf1_report,
         }
-
-    # -- part 1c: incremental-append receipt — also after everything
-    # cross-round-comparable (its metric is a within-leg ratio, robust to
-    # residual throttle from the 10x burst)
-    append_leg = None
-    if APPEND_BASE_FILES:
-        time.sleep(COOLDOWN_SMALL_S)
-        append_leg = run_append_bench()
-
-    pipeline: dict = {"files": n_files, "pairs": [list(p) for p in PAIRS]}
-    for n in levels:
-        best = min(walls[n])
-        pipeline[f"wall_s_n{n}"] = round(best, 2)
-        pipeline[f"files_per_sec_n{n}"] = round(n_files / best, 1)
-        pipeline[f"wall_s_n{n}_all_reps"] = [round(w, 2) for w in walls[n]]
-    for a, b in PAIRS:
-        eff = (n_files / min(walls[b])) / ((b / a) * (n_files / min(walls[a])))
-        pipeline[f"scaling_efficiency_{a}_to_{b}"] = round(eff, 3)
-    pipeline["hardware_note"] = (
-        "sandbox delivers ~6.5 effective cores; each leg is best-of-reps "
-        "(host interference is one-sided); 2->8 sits against the measured "
-        "0.80 shared-L3 per-core ceiling of this box; see BENCH/BASELINE.md"
-    )
-
-    total = round(
-        sum(timings.values()) + sum(min(walls[n]) for n in levels), 3
-    )
-    print(json.dumps({
-        "metric": "end_to_end_dedup_bench",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "ann_kernel_dim768": ann768,
-        "scale_10x": scale_10x,
-        "append": append_leg,
-        "pipeline": pipeline,
-    }))
+        # rested-rerun rule: a >15% regression vs the recorded prior round
+        # is throttle-suspect — cool down properly and measure again,
+        # keeping both walls in the receipt
+        if PREV_10X_WALL_S and sf1_wall > 1.15 * PREV_10X_WALL_S and budget_allows(1300):
+            time.sleep(3 * COOLDOWN_BIG_S)
+            _n2, wall2, rep2 = run_pipeline_scale_subprocess(SF1_N, sf1_path)
+            scale_10x["rested_rerun_wall_s"] = round(wall2, 2)
+            scale_10x["rested_rerun_skew"] = rep2.get("worst_stage_skew")
+            scale_10x["regression_note"] = (
+                f"first wall {sf1_wall:.0f}s was >15% over the recorded "
+                f"prior-round wall {PREV_10X_WALL_S:.0f}s; rerun after a "
+                f"{3 * COOLDOWN_BIG_S}s cool-down"
+            )
+        RESULT["scale_10x"] = scale_10x
+        RESULT["legs_completed"].append("scale_10x")
+    elif SF1_FILES:
+        RESULT["scale_10x"] = "skipped_for_budget (see BENCH/BASELINE.md)"
+    emit()
 
 
 if __name__ == "__main__":

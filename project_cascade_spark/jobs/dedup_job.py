@@ -84,6 +84,25 @@ def main(argv: list[str] | None = None) -> int:
     cfg = CODE_CONFIG if args.preset == "code" else DEFAULT_CONFIG
     if args.input is None and not args.compact_to:
         p.error("--input is required (except with --compact-to)")
+    # flag-compatibility guards: modes that would silently IGNORE a flag
+    # the user passed must say so (round-4 ADVICE) — error when the flag
+    # asks for work the mode cannot do, warn when it merely restates an
+    # auto-detected decision
+    if args.compact_to and args.append:
+        p.error("--compact-to and --append are mutually exclusive")
+    if args.configs and (args.append or args.compact_to):
+        p.error("--configs runs a band-config sweep over a full pipeline "
+                "run; it is not supported with --append/--compact-to")
+    if args.no_substring_pass and (args.append or args.compact_to):
+        print(
+            "warning: --no-substring-pass is ignored here — append/compact "
+            "auto-detect substring maintenance from the base run's stages "
+            "(a substring-maintaining base keeps maintaining the pass)",
+            file=sys.stderr,
+        )
+    if args.compact_to and args.input:
+        p.error("--compact-to takes no --input (it merges --workdir's "
+                "existing epochs; nothing new is read)")
     spark = build_session("cascade-dedup", master=args.master)
     t0 = time.time()
 
@@ -92,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--compact-to requires --workdir (the source to compact)")
         from project_cascade_spark.plans.append import compact
 
-        rep = compact(spark, args.workdir, args.compact_to)
+        rep = compact(spark, args.workdir, args.compact_to, cfg)
         if args.report:
             print(json.dumps({**rep, "wall_s": round(time.time() - t0, 2)}))
         spark.stop()

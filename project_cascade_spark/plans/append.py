@@ -59,7 +59,12 @@ doc-frequencies of THEIR epoch; if new files later push a print over the
 boilerplate threshold, a from-scratch run would drop some of those old
 pairs while the incremental view keeps them (frequencies freeze per
 increment — the same class of caveat as cap saturation, affecting only the
-heuristic boilerplate guard, never clustering).
+heuristic boilerplate guard, never clustering).  compact() HEALS this
+divergence: it recomputes the distinct-document frequencies over the
+merged corpus and re-filters/re-verifies the retained pair set
+(_recompacted_substring_pairs), so a compacted dir's substring stage
+equals the from-scratch pass even when a print crossed the boilerplate
+threshold mid-chain (tests/test_append.py plants exactly that).
 """
 
 from __future__ import annotations
@@ -67,7 +72,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import CascadeConfig
@@ -142,13 +147,40 @@ def _substring_state(base: StageStore, epoch: int) -> DataFrame:
 
 
 def current_epoch(root: str) -> int:
+    """Corpus epoch of a workdir, from its `_epoch` marker.
+
+    A MISSING marker means epoch 0 (a plain base run never writes one) —
+    but only if no promoted delta stages exist: an unreadable or deleted
+    marker next to `e1_*` stage dirs must NOT silently resolve to 0, or a
+    later append would rebuild epoch 1 from the base alone and drop the
+    previously appended batch from corpus state.  Garbage marker content
+    is likewise a hard error, not epoch 0."""
+    import glob
     import os
 
+    marker = os.path.join(root, "_epoch")
     try:
-        with open(os.path.join(root, "_epoch")) as f:
-            return int(f.read().strip())
-    except OSError:
+        with open(marker) as f:
+            content = f.read().strip()
+    except FileNotFoundError:
+        if glob.glob(os.path.join(root, "e[0-9]*_*")):
+            raise RuntimeError(
+                f"{root} has promoted epoch stage dirs but no _epoch "
+                "marker — the marker was deleted or the dir was partially "
+                "copied; refusing to treat it as epoch 0 (that would drop "
+                "appended batches from corpus state)"
+            )
         return 0
+    except OSError as e:
+        raise RuntimeError(
+            f"cannot read epoch marker {marker}: {e}; refusing to guess"
+        ) from e
+    try:
+        return int(content)
+    except ValueError as e:
+        raise RuntimeError(
+            f"corrupt epoch marker {marker}: {content!r} is not an integer"
+        ) from e
 
 
 def _bump_epoch(root: str, epoch: int) -> None:
@@ -417,13 +449,25 @@ def append_batch(
                 new_groups.select(F.col("nrep_id").alias("file_id")),
                 "file_id", "fps_pos", cfg, template_filter=True,
             )
-            # pairs that are also near-dup edges are already reported there
+            # pairs that are also near-dup edges are already reported there.
+            # localCheckpoint: consumed twice (id prefilter + verify join) —
+            # without it the anchor-pair join would run twice.
             fresh = cand.join(
                 edges_all.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-            )
+            ).localCheckpoint(eager=True)
             texts = prepared_A.select("file_id", "norm").unionByName(
                 prepared_new.select("file_id", "norm")
             )
+            # semi-join prefilter, mirroring _new_edges' feats prefilter:
+            # the verify join's pinned shuffle would otherwise move the
+            # corpus-sized norm-text table every append — it only needs
+            # the texts of ids that appear in a candidate pair
+            ids = (
+                fresh.select(F.col("id_a").alias("file_id"))
+                .unionByName(fresh.select(F.col("id_b").alias("file_id")))
+                .distinct()
+            )
+            texts = texts.join(ids, "file_id", "left_semi")
             return verify_long_substring_anchored(
                 fresh, texts, "file_id", "norm", cfg
             )
@@ -484,7 +528,9 @@ def append_batch(
     )
 
 
-def compact(spark, root_src: str, root_dst: str) -> dict:
+def compact(
+    spark, root_src: str, root_dst: str, cfg: CascadeConfig | None = None
+) -> dict:
     """Merge a delta-chained workdir into a fresh epoch-0 workdir — the
     LSM compaction step.  Deltas keep appends cheap but each epoch adds a
     union branch to every state read; compaction pays the corpus rewrite
@@ -496,7 +542,20 @@ def compact(spark, root_src: str, root_dst: str) -> dict:
     the SOURCE's token digest (not from a job input fingerprint), so a
     from-scratch job pointed at root_dst recomputes rather than resuming —
     compacted dirs are append-owned by construction.
+
+    Compaction also HEALS the append chain's one scoped substring-pass
+    divergence (frozen per-epoch template frequencies): the MOSS
+    boilerplate filter's distinct-document frequencies are recomputed over
+    the merged corpus and the retained pair set is re-filtered/re-verified
+    (see _recompacted_substring_pairs), so the compacted 08 stage equals
+    the from-scratch pass even when a print crossed the boilerplate
+    threshold mid-chain.  `cfg` must be the chain's pipeline config
+    (defaults to CODE_CONFIG, the dedup_job default preset).
     """
+    if cfg is None:
+        from ..config import CODE_CONFIG
+
+        cfg = CODE_CONFIG
     epoch = current_epoch(root_src)
     base = StageStore(spark, root_src)
     cl_stage = "06_clusters" if epoch == 0 else f"e{epoch}_clusters"
@@ -511,7 +570,112 @@ def compact(spark, root_src: str, root_dst: str) -> dict:
         lambda: base.read(as_stage).select("file_id", "content_sha", "cluster_id"),
     )
     if _substring_enabled(base, epoch):
-        dst.run("08a_fingerprints_pos", lambda: _fps_state(base, epoch))
-        dst.run("08_substring_pairs", lambda: _substring_state(base, epoch))
+        fps_all = dst.run("08a_fingerprints_pos", lambda: _fps_state(base, epoch))
+        dst.run(
+            "08_substring_pairs",
+            lambda: _recompacted_substring_pairs(
+                _substring_state(base, epoch),
+                fps_all,
+                _read_state(base, "02_prepared", epoch, cols=["file_id", "norm"]),
+                cfg,
+            ),
+        )
     n = dst.read("00_input").count()
     return {"epochs_compacted": epoch, "files": n, "dst": root_dst}
+
+
+def _recompacted_substring_pairs(
+    pairs: DataFrame,
+    fps_all: DataFrame,
+    texts: DataFrame,
+    cfg: CascadeConfig,
+    max_occ_per_doc: int = 16,
+) -> DataFrame:
+    """Re-filter the retained substring pair set under MERGED-corpus
+    template frequencies — the compaction step that equalizes the append
+    chain with a from-scratch run.
+
+    Why this is sufficient for exactness: distinct-document frequencies
+    are MONOTONE in the corpus (appending files never lowers a print's
+    doc-count), so the merged-frequency boilerplate filter is at least as
+    strict as the filter any epoch applied — the from-scratch pair set is
+    a SUBSET of the retained one, and compaction only ever needs to drop
+    or re-verify, never to add.  Partition:
+
+    - a retained pair NONE of whose shared prints is now over-threshold
+      has exactly the anchor set a from-scratch run would build (every
+      shared print was under-threshold at its epoch too), so its recorded
+      lcs_len is already the from-scratch value → passes through;
+    - a pair sharing >= 1 now-over-threshold print ("suspect") is
+      re-derived from scratch: anchors from the occurrence-capped,
+      merged-frequency-filtered prints, then anchored re-verification —
+      pairs whose support was ONLY boilerplate prints drop out, pairs
+      with residual genuine overlap keep their (possibly reduced)
+      exact lcs_len.
+
+    Costs are compaction-shaped: one corpus-wide hash-only groupBy for the
+    frequencies (compaction already rewrites the corpus), and pair work
+    bounded by the retained pair set, not the corpus."""
+    fpsx = fps_all.select(
+        F.col("file_id").alias("_id"), F.explode("fps_pos").alias("p")
+    ).select("_id", F.col("p.fp").alias("fp"), F.col("p.pos").alias("pos"))
+    freq = fpsx.groupBy("fp").agg(F.countDistinct("_id").alias("_df"))
+    over = freq.filter(F.col("_df") > cfg.max_bucket_size).select("fp")
+
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    # suspect pairs: share >= 1 now-over-threshold print.  Both join sides
+    # are restricted to ids that appear in retained pairs, so the self-join
+    # is pair-bounded even when a boilerplate print spans thousands of docs.
+    over_fps = (
+        fpsx.join(pair_ids, "_id", "left_semi")
+        .join(over, "fp", "left_semi")
+        .select("_id", "fp")
+        .distinct()
+    )
+    sus = (
+        over_fps.select(F.col("_id").alias("id_a"), "fp")
+        .join(over_fps.select(F.col("_id").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .localCheckpoint(eager=True)  # consumed by anti-join + semi-join + verify
+    )
+    clean = pairs.join(sus, ["id_a", "id_b"], "left_anti")
+
+    # re-derive the suspect pairs exactly as a from-scratch run would:
+    # occurrence cap first, then the merged-corpus template filter (the
+    # same order fingerprint_anchor_pairs applies), anchors restricted to
+    # the suspect pairs, anchored exact verification.
+    w = Window.partitionBy("_id", "fp").orderBy("pos")
+    capped = (
+        fpsx.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") <= max_occ_per_doc)
+        .drop("_occ")
+        .join(over, "fp", "left_anti")
+    )
+    sus_ids = (
+        sus.select(F.col("id_a").alias("_id"))
+        .unionByName(sus.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sus_fps = capped.join(sus_ids, "_id", "left_semi")
+    left = sus_fps.select(F.col("_id").alias("id_a"), "fp", F.col("pos").alias("pos_a"))
+    right = sus_fps.select(F.col("_id").alias("id_b"), "fp", F.col("pos").alias("pos_b"))
+    anchors = (
+        left.join(right, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(sus, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list(F.struct("pos_a", "pos_b")).alias("anchors"))
+    )
+    sus_texts = texts.join(sus_ids.withColumnRenamed("_id", "file_id"),
+                           "file_id", "left_semi")
+    reverified = verify_long_substring_anchored(
+        anchors, sus_texts, "file_id", "norm", cfg
+    )
+    return clean.unionByName(reverified)

@@ -268,29 +268,37 @@ def dedup_pipeline(
 
     rep_clusters = run("06_clusters", _clusters, persist=False)
 
-    def _assign() -> DataFrame:
+    def _assign_core() -> DataFrame:
         # cluster(file) = file → norm-rep (_nmd5 groupBy) → component.
         # Fallbacks: norm-rep id (normalization-identical groups still
-        # merge), then own file_id.  Only (file_id, hash) columns shuffle;
-        # content comes back from the source scan (same deterministic
-        # file_id), so the sha256 invariant is testable on the output
-        # without content ever riding through the pipeline's shuffles.
-        nm = (
+        # merge), then own file_id.  Only (file_id, hash) columns shuffle.
+        return (
             files.select("file_id", "content_sha", "_nmd5")
             .join(norm_reps_df, "_nmd5")
             .join(rep_clusters.withColumnRenamed("id", "nrep_id"), "nrep_id", "left")
             .select(
                 "file_id",
                 "content_sha",
-                F.coalesce(F.col("cluster_id"), F.col("nrep_id")).alias("cluster_id"),
+                F.coalesce(
+                    F.coalesce(F.col("cluster_id"), F.col("nrep_id")),
+                    F.col("file_id"),
+                ).alias("cluster_id"),
             )
         )
-        return (
-            code_files.join(nm, "file_id", "left")
-            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("file_id")))
-        )
 
-    assignments = run("07_assignments", _assign, persist=False)
+    # The DURABLE assignment stage is the 3-column hash-only projection
+    # (file_id, content_sha, cluster_id) — the canonical schema every path
+    # (base run, append epochs, compaction) persists, so consumers of a
+    # workdir never see a schema that depends on the dir's history.  It is
+    # also the 100 TB contract: ~48 B/row checkpointed, never the corpus
+    # text.  The RETURNED frame re-joins the source scan (deterministic
+    # file_id) so the full source columns and the sha256 invariant stay
+    # testable without content ever riding through a checkpoint or shuffle.
+    assign_core = run("07_assignments", _assign_core, persist=False)
+    assignments = code_files.join(
+        assign_core.select("file_id", "content_sha", "cluster_id"),
+        "file_id", "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("file_id")))
 
     substring_pairs = None
     if with_substring_pass:

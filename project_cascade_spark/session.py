@@ -60,6 +60,11 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: they flood captured stdout/stderr with
+        # \r-rewritten stage lines, which buries the one-line JSON receipts
+        # the bench/job surfaces print (a driver that tails the output must
+        # still find a parseable line)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():

@@ -201,3 +201,115 @@ def test_append_substring_pass_matches_full_run(spark, tmp_path):
 
     # assignments stay label-exact with the pass enabled too
     assert _assign_pdf(res.assignments).equals(_assign_pdf(full_res.assignments))
+
+
+def test_compact_recomputes_template_filter(spark, tmp_path):
+    """Round-4 verdict #4 planted case: a winnow print UNDER the MOSS
+    boilerplate threshold in the base epoch is pushed OVER it by the
+    appended batch.  The pre-compact view keeps the base's pair (its
+    epoch's frequencies are frozen — the documented divergence); compact()
+    recomputes doc-frequencies over the merged corpus and re-filters, so
+    the compacted 08 stage equals the from-scratch run's pair set."""
+    import numpy as np
+    import pandas as pd
+
+    from project_cascade_spark.config import CascadeConfig
+    from project_cascade_spark.plans.append import compact
+
+    cfg = CascadeConfig(
+        shingle_mode="char",
+        winnow_k=8, winnow_w=8, min_common_substring=15,
+        max_bucket_size=4,          # tiny boilerplate threshold
+        jaccard_threshold=0.8,
+    )
+    rng = np.random.RandomState(11)
+
+    def words(n):
+        return " ".join(
+            "w%06d%04d" % (rng.randint(0, 10**6), i) for i in range(n)
+        )
+
+    # planted blocks, long enough that interior winnow windows are
+    # context-independent (>> (k + w) chars)
+    block_t = " ".join("tshared%04d" % i for i in range(30))   # goes boilerplate
+    block_u = " ".join("ucontrol%04d" % i for i in range(30))  # stays rare
+
+    docs = []
+
+    def emit(content):
+        i = len(docs)
+        docs.append((f"org{i}/r{i}", f"src/f{i}.py", f"{i:010x}", "py", content))
+
+    emit(words(120) + " " + block_t)   # A
+    emit(words(120) + " " + block_t)   # B — base pair on T
+    emit(words(120) + " " + block_u)   # C
+    emit(words(120) + " " + block_u)   # D — control pair on U
+    for _ in range(12):
+        emit(words(130))               # unique filler
+    n_base = len(docs)
+    for _ in range(12):                # the batch floods T past df=4
+        emit(words(120) + " " + block_t)
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pdf = pd.DataFrame(docs, columns=cols)
+    base_pdf, batch_pdf = pdf.iloc[:n_base], pdf.iloc[n_base:]
+
+    def sub_pdf(df):
+        return (
+            df.select("id_a", "id_b", "lcs_len").toPandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+
+    full = dedup_pipeline(
+        load_code_files(spark, pdf), cfg, with_substring_pass=True
+    )
+    full_sub = sub_pdf(full.substring_pairs)
+
+    wd, wd2 = str(tmp_path / "wd"), str(tmp_path / "wd_c")
+    store = StageStore(spark, wd, fingerprint="base")
+    dedup_pipeline(
+        load_code_files(spark, base_pdf), cfg, store=store,
+        with_substring_pass=True,
+    ).assignments.count()
+    res = append_batch(load_code_files(spark, batch_pdf), cfg, wd)
+    pre = sub_pdf(res.substring_pairs)
+
+    ids = {
+        r["path"]: r["file_id"] for r in
+        load_code_files(spark, pdf).select("path", "file_id").collect()
+    }
+    ab = tuple(sorted((ids["src/f0.py"], ids["src/f1.py"])))
+    cd = tuple(sorted((ids["src/f2.py"], ids["src/f3.py"])))
+    pre_pairs = set(zip(pre["id_a"], pre["id_b"]))
+    full_pairs = set(zip(full_sub["id_a"], full_sub["id_b"]))
+
+    # the divergence is real: pre-compact keeps the base's T pair, the
+    # from-scratch run has template-filtered it out; the control pair
+    # survives in both
+    assert ab in pre_pairs and ab not in full_pairs
+    assert cd in pre_pairs and cd in full_pairs
+
+    compact(spark, wd, wd2, cfg)
+    compacted = sub_pdf(StageStore(spark, wd2).read("08_substring_pairs"))
+    assert compacted.equals(full_sub)
+
+
+def test_epoch_marker_robustness(tmp_path):
+    """A missing marker is epoch 0 only for a plain base dir; promoted
+    delta stages without a marker, an unreadable marker, or garbage
+    content must fail loudly instead of silently dropping epochs."""
+    import pytest
+
+    root = str(tmp_path / "wd")
+    os.makedirs(root)
+    assert current_epoch(root) == 0          # plain base dir, no marker
+
+    with open(os.path.join(root, "_epoch"), "w") as f:
+        f.write("not-a-number")
+    with pytest.raises(RuntimeError, match="corrupt epoch marker"):
+        current_epoch(root)
+
+    os.remove(os.path.join(root, "_epoch"))
+    os.makedirs(os.path.join(root, "e1_batch_files"))
+    with pytest.raises(RuntimeError, match="no _epoch marker"):
+        current_epoch(root)
