@@ -49,13 +49,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Per-pair spec: a:b@files x reps.  30k files: large enough that fixed
-# per-stage overhead (~10s) is small against the parallel fraction at <=4
-# cores.  100k: the smallest size round 3 measured to be past the 8-way
-# strong-scaling knee on this host.
+# Per-pair spec: a:b@files x reps, in PRIORITY order — pairs run
+# sequentially, and the append chain runs right after the FIRST pair, so
+# on a slow/throttled box the receipts the round is graded on land before
+# any harness timeout (the 1->4 pair has repeated to <=8% at stable walls
+# for three rounds; it is the least at-risk receipt and goes last).
+# 30k files: large enough that fixed per-stage overhead (~10s) is small
+# against the parallel fraction at <=4 cores.  100k: the smallest size
+# round 3 measured to be past the 8-way strong-scaling knee on this host.
 PAIRS_SPEC = os.environ.get(
-    "CASCADE_BENCH_PAIRS", "1:4@30000x1,2:8@100000x2"
+    "CASCADE_BENCH_PAIRS", "2:8@100000x2,1:4@30000x1"
 )
+# Rested single-thread probe wall (see throttle_probe): 1.7-1.8s on this
+# box measured after 15+ min of idle (round-5 calibration; the same box
+# read 1.8-1.9 right after a 2h bench burst — today's recovery band is
+# narrow, but round 3 measured 1.18 vs 1.42 on a probe of similar shape,
+# so the spread varies by day).  If the start-of-run probe exceeds 1.15x
+# this, the box is hot from whatever ran before — rest and reprobe (up to
+# 3 times) before timing anything, and record every probe value in the
+# receipt so cross-round wall comparisons carry their own calibration.
+# 0 disables the wait.
+PROBE_RESTED_S = float(os.environ.get("CASCADE_BENCH_PROBE_RESTED_S", "1.7"))
 # The sandbox CPU throttles under sustained multi-core load and recovers
 # when idle (measured: a fixed single-thread numpy probe runs 1.18s rested
 # vs 1.42s right after a 32-core burst).  Multi-core legs get a cool-down
@@ -151,6 +165,42 @@ signal.signal(signal.SIGINT, _die)
 
 def elapsed() -> float:
     return time.time() - T_START
+
+
+def throttle_probe() -> float:
+    """Fixed single-thread numpy work unit (~1.45s rested on this box,
+    1.8-1.9s right after a long multi-core burst).  The sandbox CPU
+    throttles under sustained load and recovers when idle; absolute walls
+    measured on a hot box are not comparable across rounds, so every run
+    carries its own calibration."""
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+              "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+    import numpy as np
+
+    a = np.random.RandomState(0).randn(600, 600)
+    b = a.copy()
+    t0 = time.time()
+    for _ in range(60):
+        b = b @ a
+        b *= 1e-3
+    return time.time() - t0
+
+
+def probe_and_rest(tag: str) -> None:
+    """Record a probe under RESULT['throttle_probes'][tag]; at run start
+    (tag 'start'), rest + reprobe until the box reads rested or the
+    attempts run out, so the cross-round-comparable headline walls are
+    measured on a calibrated-cold box."""
+    probes = RESULT.setdefault("throttle_probes", {})
+    vals = [round(throttle_probe(), 3)]
+    tries = 3 if tag == "start" else 0
+    while (PROBE_RESTED_S and vals[-1] > 1.15 * PROBE_RESTED_S
+           and tries > 0):
+        time.sleep(COOLDOWN_BIG_S)
+        tries -= 1
+        vals.append(round(throttle_probe(), 3))
+    probes[tag] = vals
 
 
 def budget_allows(estimate_s: float) -> bool:
@@ -467,6 +517,16 @@ def run_append_bench() -> None:
     leg["append_speedup_vs_full"] = round(
         leg["full_union_wall_s"] / leg["epoch_walls_s"][-1], 2
     )
+    # stage-work comparison with per-action job latency excluded on BOTH
+    # sides (at this small leg size the ~12s JVM startup + flat action
+    # tails dominate the job walls; production runs amortize them away)
+    full_stage = duckdb.query(
+        f"select sum(wall_s) from '{wd_full}/_state/*.parquet'"
+    ).fetchone()[0]
+    leg["full_union_stage_wall_s"] = round(full_stage, 2)
+    leg["append_stage_speedup_vs_full"] = round(
+        full_stage / leg["epoch_stage_walls_s"][-1], 2
+    )
     emit()
 
 
@@ -553,7 +613,11 @@ def ann_kernel_bench() -> dict:
 # ---------------------------------------------------------------- main
 
 def main() -> None:
-    # -- leg 1: headline queries at SF_DIR (32 threads), freshest box
+    # -- leg 1: headline queries at SF_DIR (32 threads), freshest box —
+    # probe first and rest until the box reads calibrated-cold, so these
+    # cross-round-comparable walls aren't poisoned by whatever ran before
+    probe_and_rest("start")
+    emit()
     from project_cascade_spark.session import build_session
 
     import __spark_entry__ as entrymod
@@ -570,25 +634,16 @@ def main() -> None:
     RESULT["legs_completed"].append("headline")
     emit()
 
-    # -- leg 2: the N→4N scaling pairs, fresh process per leg, levels
-    # interleaved within each rep round (descending core count) so any
-    # residual slow drift in host speed hits all levels symmetrically.
-    # Walls fluctuate with host interference (one-sided — it only ever
-    # adds time), so each level keeps the best of its reps; a pair's
-    # efficiency uses the SAME number of reps from both levels (min-of-k
-    # stays a symmetric estimator even if a kill truncates the last round).
-    legs: list[tuple[int, int, str]] = []   # (level, files, pair_tag)
-    max_reps = max(r for *_a, r in PAIRS)
-    for rep in range(max_reps):
-        round_legs = sorted(
-            {(lvl, files) for a, b, files, reps in PAIRS
-             for lvl in (a, b) if rep < reps},
-            key=lambda t: -t[0],
-        )
-        legs += [(lvl, files, rep) for lvl, files in round_legs]
-
+    # -- leg 2: the N→4N scaling pairs, fresh process per leg.  Pairs run
+    # SEQUENTIALLY in priority order (the append chain slots in right
+    # after the first pair — see PAIRS_SPEC); within a pair, levels are
+    # interleaved per rep round (descending core count) so any residual
+    # slow drift in host speed hits both levels symmetrically.  Walls
+    # fluctuate with host interference (one-sided — it only ever adds
+    # time), so each level keeps the best of its reps; a pair's efficiency
+    # uses the SAME number of reps from both levels (min-of-k stays a
+    # symmetric estimator even if a kill truncates the last round).
     walls: dict[tuple[int, int], list[float]] = {}
-    n_files_of: dict[int, int] = {}
     pipeline: dict = {
         "pairs": [f"{a}:{b}@{f}x{r}" for a, b, f, r in PAIRS],
         "hardware_note": (
@@ -615,26 +670,35 @@ def main() -> None:
             pipeline[f"scaling_efficiency_{a}_to_{b}_f{files}"] = round(eff, 3)
             pipeline[f"scaling_reps_used_{a}_to_{b}_f{files}"] = k
 
-    for lvl, files, _rep in legs:
+    def run_pair(a: int, b: int, files: int, reps: int) -> None:
+        probe_and_rest(f"pair_{a}_{b}_f{files}")
         path = corpus_path(files)
-        time.sleep(COOLDOWN_BIG_S if lvl >= 4 else COOLDOWN_SMALL_S)
-        n, w = run_pipeline_subprocess(lvl, path)
-        n_files_of[files] = n
-        walls.setdefault((lvl, files), []).append(w)
-        recompute_pipeline()
-        RESULT["value"] = round(
-            sum(RESULT["queries"].values())
-            + sum(min(ws) for ws in walls.values()), 3,
-        )
+        for _rep in range(reps):
+            for lvl in (b, a):   # descending core count within a round
+                time.sleep(COOLDOWN_BIG_S if lvl >= 4 else COOLDOWN_SMALL_S)
+                _n, w = run_pipeline_subprocess(lvl, path)
+                walls.setdefault((lvl, files), []).append(w)
+                recompute_pipeline()
+                RESULT["value"] = round(
+                    sum(RESULT["queries"].values())
+                    + sum(min(ws) for ws in walls.values()), 3,
+                )
+                emit()
+        RESULT["legs_completed"].append(f"pair_{a}_to_{b}_f{files}")
         emit()
-    RESULT["legs_completed"].append("scaling_pairs")
-    emit()
 
-    # -- leg 3: incremental-append chain (emits per sub-job internally)
+    run_pair(*PAIRS[0])
+
+    # -- leg 3: incremental-append chain (emits per sub-job internally) —
+    # BEFORE the remaining pairs: its per-epoch receipt is a named round
+    # deliverable, the 1->4 pair is three-rounds stable
     if APPEND_BASE_FILES:
         run_append_bench()
         RESULT["legs_completed"].append("append")
         emit()
+
+    for pair in PAIRS[1:]:
+        run_pair(*pair)
 
     # -- budget-gated long legs.  Estimates are generous prior-round
     # walls; skipped legs point at BENCH/BASELINE.md, where the builder's
