@@ -76,7 +76,12 @@ PROBE_RESTED_S = float(os.environ.get("CASCADE_BENCH_PROBE_RESTED_S", "1.7"))
 # first; 1-2 core legs neither need nor benefit from one (they follow a
 # low-intensity leg and barely heat the box).
 COOLDOWN_BIG_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_BIG_S", "60"))
-COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "15"))
+# Small-leg cooldown is not negligible: a 1-2 core leg that starts 15s
+# after an 8-core burst inherits its heat, inflating the SLOW side of the
+# pair and therefore flattering the efficiency ratio (measured round 5:
+# n2@100k read 892s straight after an n8 leg vs 746s on the calmer second
+# round).  45s keeps the estimator honest at ~2 min total profile cost.
+COOLDOWN_SMALL_S = int(os.environ.get("CASCADE_BENCH_COOLDOWN_SMALL_S", "45"))
 # Soft wall-clock budget (seconds) for the whole bench: optional legs are
 # skipped when elapsed + estimate would cross it.  The driver's timeout is
 # ~1h; 3350 leaves headroom for emission + teardown.  0 = unlimited (the
@@ -89,7 +94,7 @@ SF1_N = int(os.environ.get("CASCADE_BENCH_SF1_N", "8"))
 # Rested-rerun rule (round-4 verdict #3): if the 10x wall regresses >15%
 # vs the recorded prior-round rested wall, cool down and run it again,
 # recording BOTH walls — a single throttle-suspect rep is not a receipt.
-PREV_10X_WALL_S = float(os.environ.get("CASCADE_BENCH_PREV_10X_WALL_S", "742"))
+PREV_10X_WALL_S = float(os.environ.get("CASCADE_BENCH_PREV_10X_WALL_S", "772"))
 # incremental-append chain: base + N_EPOCHS batch folds + compact vs a
 # from-scratch run on the union.  Disable with CASCADE_BENCH_APPEND_BASE=0.
 APPEND_BASE_FILES = int(os.environ.get("CASCADE_BENCH_APPEND_BASE", "12000"))
