@@ -131,6 +131,234 @@ def make_simhash_udf(cfg: CascadeConfig):
     return simhash
 
 
+# ---------------------------------------------------------------------------
+# Rolling-hash text kernels — the scale path for char-gram hashing.
+#
+# The JVM expression forms (char_shingles → xxhash64 per shingle,
+# fast_kgram_hashes → xxhash64 per position) materialize one k-char substring
+# PLUS one hash call per character of every document: at a 600-char file and
+# winnow_k=48 that is ~26 KB hashed and ~550 string allocations per row —
+# profiled as the two dominant pipeline stages (02_prepared +
+# 08a_fingerprints_pos ≈ half the wall at local[8]).  These kernels compute
+# every window hash of a whole Arrow batch in a handful of vectorized numpy
+# passes: a position-independent polynomial rolling hash over UTF-32 code
+# points (prefix sums + modular-inverse renormalization in wrap-around
+# uint64), finished with a splitmix64-style mixer.  Only used on
+# pipeline-internal paths (no DuckDB parity requirement — the md5-based
+# hash60 primitives remain the oracle path); hash VALUES differ from the
+# old xxhash64 forms, which only shifts chance collisions: LSH candidates
+# are exact-Jaccard-verified and winnow anchors are verified by real
+# character comparison, so operator semantics are unchanged.
+# ---------------------------------------------------------------------------
+
+_RH_B = np.uint64(0x9E3779B97F4A7C15)                     # odd ⇒ invertible mod 2^64
+_RH_BINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wrap-around)."""
+    z = (z ^ (z >> np.uint64(30))) * _MIX1
+    z = (z ^ (z >> np.uint64(27))) * _MIX2
+    return z ^ (z >> np.uint64(31))
+
+
+def _batch_text_codes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch of strings to (uint64 code points + 1, per-row char
+    lengths).  None rows contribute length 0 (callers track nulls)."""
+    encs = [("" if t is None else t).encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(e) >> 2 for e in encs), dtype=np.int64, count=len(encs))
+    if len(encs) == 0 or int(lens.sum()) == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    flat = np.frombuffer(b"".join(encs), dtype="<u4").astype(np.uint64)
+    return flat + np.uint64(1), lens
+
+
+def _prefix_tables(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(PS0, pinv): PS0[i] = Σ_{j<i} c_j·B^j and pinv[i] = B^{-i}, both mod
+    2^64.  The hash of any char window [s, e) is then
+    mix64((PS0[e] - PS0[s]) · pinv[s]) — position-independent, so one pair
+    of prefix tables serves every window of every row in the batch."""
+    n = flat.shape[0]
+    pw = np.full(n, _RH_B, dtype=np.uint64)
+    if n:
+        pw[0] = np.uint64(1)
+    np.cumprod(pw, out=pw)
+    pinv = np.full(n + 1, _RH_BINV, dtype=np.uint64)
+    pinv[0] = np.uint64(1)
+    np.cumprod(pinv, out=pinv)
+    ps0 = np.empty(n + 1, dtype=np.uint64)
+    ps0[0] = np.uint64(0)
+    np.cumsum(flat * pw, out=ps0[1:])
+    return ps0, pinv
+
+
+def _batch_gram_hashes(
+    texts,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared front half of the text kernels: encode the batch and return
+    (flat codes, lens, starts0, PS0, pinv)."""
+    flat, lens = _batch_text_codes(texts)
+    starts0 = np.empty(lens.shape[0] + 1, dtype=np.int64)
+    starts0[0] = 0
+    np.cumsum(lens, out=starts0[1:])
+    ps0, pinv = _prefix_tables(flat)
+    return flat, lens, starts0, ps0, pinv
+
+
+def _window_hash_span(ps0, pinv, s, e) -> np.ndarray:
+    """Mixed hash of char span [s, e) (vectorized over aligned s/e arrays)."""
+    return _mix64((ps0[e] - ps0[s]) * pinv[s])
+
+
+def make_char_shingle_hash_udf(k: int):
+    """pandas UDF: norm string → sorted-distinct hashed k-char shingles as
+    array<int> in [0, MERSENNE31) — the kernel twin of
+    array_distinct(fast_shingle_hashes(char_shingles(norm, k))).
+
+    Semantics match the expression chain structurally: one hash per k-char
+    window (rows shorter than k hash the whole text as their single
+    shingle, so no row is ever empty), distinct per row.  Values are
+    rolling-hash-derived rather than xxhash64 (internal-only; see the
+    section comment).  Output order is sorted, which no consumer observes
+    (MinHash min-reduces, Jaccard verification takes set sizes)."""
+
+    @pandas_udf("array<int>")
+    def shingle_hash(texts: pd.Series) -> pd.Series:
+        n_rows = len(texts)
+        nulls = np.fromiter((t is None for t in texts), dtype=bool, count=n_rows)
+        flat, lens, starts0, ps0, pinv = _batch_gram_hashes(texts)
+        n = flat.shape[0]
+        # full windows of rows with >= k chars
+        cnt = np.where(lens >= k, lens - k + 1, 0)
+        tot = int(cnt.sum())
+        if tot and n >= k:
+            starts = np.repeat(starts0[:-1], cnt) + (
+                np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            vals = _window_hash_span(ps0, pinv, starts, starts + k)
+            row_of = np.repeat(np.arange(n_rows), cnt)
+        else:
+            vals = np.empty(0, dtype=np.uint64)
+            row_of = np.empty(0, dtype=np.int64)
+        # short rows (< k chars, empty included): whole text is the shingle
+        short = (~nulls) & (lens < k)
+        if short.any():
+            s = starts0[:-1][short]
+            vals = np.concatenate(
+                [vals, _window_hash_span(ps0, pinv, s, starts0[1:][short])]
+            )
+            row_of = np.concatenate([row_of, np.flatnonzero(short)])
+        v31 = (vals % np.uint64(MERSENNE31)).astype(np.int32)
+        order = np.lexsort((v31, row_of))
+        r, v = row_of[order], v31[order]
+        keep = np.ones(r.shape[0], dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+        r, v = r[keep], v[keep]
+        pieces = np.split(v, np.cumsum(np.bincount(r, minlength=n_rows))[:-1])
+        out = [None if nulls[i] else pieces[i] for i in range(n_rows)]
+        return pd.Series(out, dtype="object")
+
+    return shingle_hash
+
+
+def make_winnow_pos_text_udf(cfg: CascadeConfig, max_occ_per_doc: int = 0):
+    """pandas UDF: norm string → winnowing prints WITH char positions,
+    array<struct<fp,pos>> — the fused kernel twin of
+    make_winnow_pos_udf(fast_kgram_hashes(norm)).
+
+    One batch pass computes every k-gram rolling hash (replacing the JVM
+    substring+xxhash64 per char position), then the per-row sliding-window
+    argmin winnow.  The MOSS alignment guarantee is hash-function-agnostic
+    (equal grams ⇒ equal hashes is all it needs), and anchors are verified
+    downstream by real character comparison, so exactness of the
+    long-substring pass is unchanged.
+
+    max_occ_per_doc > 0 applies the per-(doc, print) occurrence cap
+    (earliest positions kept) HERE, row-locally — identical semantics to
+    fingerprint_anchor_pairs' row_number window over the exploded print
+    table, without the corpus-wide window sort+shuffle (the cap is a
+    per-document property; guide §2.4).  Callers that pre-cap pass
+    max_occ_per_doc=0 downstream."""
+    k, w = cfg.winnow_k, cfg.winnow_w
+    cap = max_occ_per_doc
+
+    def _cap_positions(vals: np.ndarray, pos: np.ndarray):
+        """Keep the earliest `cap` positions per fp value (ascending-pos
+        output, matching the window form's orderBy(pos))."""
+        if not cap or pos.shape[0] <= cap:
+            return vals, pos
+        counts = np.unique(vals, return_counts=True)[1]
+        if int(counts.max()) <= cap:
+            return vals, pos
+        order = np.lexsort((pos, vals))
+        v_s, p_s = vals[order], pos[order]
+        new_grp = np.ones(v_s.shape[0], dtype=bool)
+        new_grp[1:] = v_s[1:] != v_s[:-1]
+        grp_start = np.repeat(
+            np.flatnonzero(new_grp),
+            np.diff(np.concatenate([np.flatnonzero(new_grp),
+                                    [v_s.shape[0]]])),
+        )
+        keep = (np.arange(v_s.shape[0]) - grp_start) < cap
+        back = np.argsort(p_s[keep], kind="stable")
+        return v_s[keep][back], p_s[keep][back]
+
+    @pandas_udf("array<struct<fp: bigint, pos: int>>")
+    def winnow_pos(texts: pd.Series) -> pd.Series:
+        n_rows = len(texts)
+        flat, lens, starts0, ps0, pinv = _batch_gram_hashes(texts)
+        n = flat.shape[0]
+        if n >= k:
+            gram_all = _window_hash_span(
+                ps0, pinv,
+                np.arange(n - k + 1, dtype=np.int64),
+                np.arange(k, n + 1, dtype=np.int64),
+            ).view(np.int64)
+        else:
+            gram_all = np.empty(0, dtype=np.int64)
+        out = []
+        for i in range(n_rows):
+            if texts.iloc[i] is None:
+                out.append(None)
+                continue
+            ln = int(lens[i])
+            s = int(starts0[i])
+            if ln < k:
+                # whole (short) text is the single gram, as in the
+                # expression form's greatest(m, 1) floor
+                fp = int(
+                    _window_hash_span(
+                        ps0, pinv,
+                        np.array([s], dtype=np.int64),
+                        np.array([s + ln], dtype=np.int64),
+                    ).view(np.int64)[0]
+                )
+                out.append([{"fp": fp, "pos": 0}])
+                continue
+            x = gram_all[s : s + ln - k + 1]
+            m = x.shape[0]
+            if m <= w:
+                p = int(x.argmin())
+                out.append([{"fp": int(x[p]), "pos": p}])
+                continue
+            rel = np.lib.stride_tricks.sliding_window_view(x, w).argmin(axis=1)
+            pos = np.unique(rel + np.arange(m - w + 1))
+            vals, pos = _cap_positions(x[pos], pos)
+            out.append(
+                [{"fp": int(v), "pos": int(p)} for v, p in zip(vals, pos)]
+            )
+        return pd.Series(out, dtype="object")
+
+    return winnow_pos
+
+
+def char_shingle_hashes_kernel(text_col: Column, k: int) -> Column:
+    """Column helper: the kernel shingle-hash path (pipeline-internal)."""
+    return make_char_shingle_hash_udf(k)(text_col)
+
+
 def make_winnow_udf(cfg: CascadeConfig):
     """pandas UDF: array<long> k-gram hashes → array<long> winnowing prints.
 

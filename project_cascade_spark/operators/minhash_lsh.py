@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import CascadeConfig
-from ..functions.hashing import band_keys, minhash_expr, shingle_hashes
+from ..functions.hashing import (
+    band_keys,
+    band_keys_hashed,
+    minhash_expr,
+    shingle_hashes,
+)
 from ..functions.kernels import apply_minhash
 
 
@@ -101,6 +106,8 @@ def candidate_pairs(
     cfg: CascadeConfig,
     cap_buckets: bool = False,
     size_col: str | None = None,
+    hash_bands: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from LSH band collisions.
 
@@ -109,8 +116,16 @@ def candidate_pairs(
     expensive shingle-array verify join — safe, because
     J(A,B) <= min(|A|,|B|)/max(|A|,|B|): no verified pair can be lost.
     With the r=2 geometry this prunes the candidate set severalfold.
+
+    hash_bands: int64 xxhash64 band keys instead of the oracle-parity
+    strings (band_keys_hashed — pipeline-internal; chance key collisions
+    only add candidates that exact verification scores away).
+    dedup: set False when the CALLER already deduplicates pairs (the
+    pipeline's verify stage groupBys on (id_a, id_b)) — skipping the
+    internal distinct saves one full shuffle of the collision set.
     """
-    cols = [F.col(id_col), F.explode(band_keys(F.col(sig_col), cfg)).alias("band")]
+    bk = band_keys_hashed if hash_bands else band_keys
+    cols = [F.col(id_col), F.explode(bk(F.col(sig_col), cfg)).alias("band")]
     if size_col:
         cols.insert(1, F.col(size_col))
     bands = df.select(*cols)
@@ -144,7 +159,8 @@ def candidate_pairs(
     if size_col:
         ratio = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
         pairs = pairs.filter(ratio >= F.lit(cfg.jaccard_threshold))
-    return pairs.select("id_a", "id_b").distinct()
+    pairs = pairs.select("id_a", "id_b")
+    return pairs.distinct() if dedup else pairs
 
 
 def candidate_pairs_linkage(
@@ -155,6 +171,8 @@ def candidate_pairs_linkage(
     cfg: CascadeConfig,
     cap_buckets: bool = False,
     size_col: str | None = None,
+    hash_bands: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """Two-table linkage candidates: (id_a from left) x (id_b from right)
     band collisions — the reference's PRIMARY entry point, source-vs-registry
@@ -171,10 +189,12 @@ def candidate_pairs_linkage(
     tables' id spaces may overlap freely (plans/pipeline.link_tables wires
     this up).
     """
+    bk = band_keys_hashed if hash_bands else band_keys
+
     def bands_of(df: DataFrame, out_id: str, out_size: str | None) -> DataFrame:
         cols = [
             F.col(id_col).alias(out_id),
-            F.explode(band_keys(F.col(sig_col), cfg)).alias("band"),
+            F.explode(bk(F.col(sig_col), cfg)).alias("band"),
         ]
         if size_col:
             cols.insert(1, F.col(size_col).alias(out_size))
@@ -189,4 +209,5 @@ def candidate_pairs_linkage(
     if size_col:
         ratio = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
         pairs = pairs.filter(ratio >= F.lit(cfg.jaccard_threshold))
-    return pairs.select("id_a", "id_b").distinct()
+    pairs = pairs.select("id_a", "id_b")
+    return pairs.distinct() if dedup else pairs

@@ -33,6 +33,10 @@ from ..config import CascadeConfig
 from ..functions.hashing import kgram_hashes, window_min_prints
 from ..functions.kernels import make_winnow_udf
 
+# default per-(document, print) occurrence cap — shared by the window form
+# (fingerprint_anchor_pairs*) and the in-kernel pre-cap (add_fingerprints_pos)
+MAX_OCC_PER_DOC = 16
+
 
 def add_fingerprints(
     df: DataFrame,
@@ -66,18 +70,27 @@ def add_fingerprints_pos(
     text_col: str,
     cfg: CascadeConfig,
     out_col: str = "fps_pos",
+    max_occ_per_doc: int = 0,
 ) -> DataFrame:
     """Winnowing prints WITH char positions: array<struct<fp,pos>>.
 
-    The pipeline's scale path (xxhash64 grams + the positional Arrow
-    kernel).  Positions feed anchored verification — see
-    verify_long_substring_anchored for why that is the 100 TB shape."""
-    from ..functions.hashing import fast_kgram_hashes
-    from ..functions.kernels import make_winnow_pos_udf
+    The pipeline's scale path: ONE fused Arrow kernel goes straight from
+    the text to positional prints (batched rolling-hash k-grams + the O(m)
+    winnow — kernels.make_winnow_pos_text_udf), replacing the old JVM
+    substring+xxhash64 per char position and the grams-array transfer.
+    Positions feed anchored verification — see
+    verify_long_substring_anchored for why that is the 100 TB shape.
 
-    df = df.withColumn("_grams", fast_kgram_hashes(F.col(text_col), cfg.winnow_k))
-    df = df.withColumn(out_col, make_winnow_pos_udf(cfg)(F.col("_grams")))
-    return df.drop("_grams")
+    max_occ_per_doc > 0 pre-applies the per-(doc, print) occurrence cap
+    inside the kernel (earliest positions — identical to the window form
+    in fingerprint_anchor_pairs, which callers then skip with
+    max_occ_per_doc=0; the cap is row-local, so no corpus-wide window
+    shuffle is ever needed)."""
+    from ..functions.kernels import make_winnow_pos_text_udf
+
+    return df.withColumn(
+        out_col, make_winnow_pos_text_udf(cfg, max_occ_per_doc)(F.col(text_col))
+    )
 
 
 def fingerprint_anchor_pairs(
@@ -86,7 +99,7 @@ def fingerprint_anchor_pairs(
     fp_col: str,
     cfg: CascadeConfig,
     template_filter: bool = True,
-    max_occ_per_doc: int = 16,
+    max_occ_per_doc: int = MAX_OCC_PER_DOC,
 ) -> DataFrame:
     """(id_a, id_b, anchors) for pairs sharing >= 1 positional print, with
     anchors = the (pos_a, pos_b) occurrence combinations of the shared
@@ -151,7 +164,7 @@ def fingerprint_anchor_pairs_linkage(
     fp_col: str,
     cfg: CascadeConfig,
     template_filter: bool = True,
-    max_occ_per_doc: int = 16,
+    max_occ_per_doc: int = MAX_OCC_PER_DOC,
 ) -> DataFrame:
     """fingerprint_anchor_pairs restricted to pairs TOUCHING a new document
     — the incremental-append form.  df_all is the whole corpus's print

@@ -64,8 +64,13 @@ def jaccard_verify(
     joined = pairs.join(a.hint("shuffle_hash"), "id_a").join(
         b.hint("shuffle_hash"), "id_b"
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the (distinct) shingle arrays —
+    # identical integers to size(array_union(...)), at one O(n) array op
+    # per pair instead of two (array_union built a second hash set per
+    # pair; this halves the per-pair verify work, measured on the edges
+    # stage).  size() on the already-joined arrays is O(1) metadata.
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     scored = joined.select(
         "id_a", "id_b", *extra, (inter / union).alias("jaccard")
     )

@@ -76,8 +76,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import CascadeConfig
-from ..functions.hashing import fast_shingle_hashes, hamming60, simhash_chunks
-from ..functions.text import char_shingles, normalize_code
+from ..functions.hashing import hamming60, simhash_chunks
+from ..functions.text import normalize_code
 from ..operators.connected_components import connected_components
 from ..operators.dedup import add_content_hash
 from ..operators.minhash_lsh import candidate_pairs_linkage
@@ -272,8 +272,10 @@ def append_batch(
     nxt = epoch + 1
 
     src = new_files
-    if src.rdd.getNumPartitions() < par:
+    src_parts = src.rdd.getNumPartitions()
+    if src_parts < par:
         src = src.repartition(heavy_par)
+        src_parts = heavy_par
 
     # hash the batch; drop files already in the corpus (same (repo, path,
     # commit) → same file_id) so re-appending a batch is a no-op
@@ -313,15 +315,20 @@ def append_batch(
         rows = src.select("file_id", "content").join(
             new_groups.select(F.col("nrep_id").alias("file_id")), "file_id"
         )
-        rows = rows.repartition(heavy_par, "file_id")
+        # mirror of pipeline._prepared's balance guard: skip the content
+        # shuffle when the batch scan is already split ≥ heavy_par ways
+        if src_parts < heavy_par:
+            rows = rows.repartition(heavy_par, "file_id")
         rows = rows.withColumn("norm", normalize_code(F.col("content"))).select(
             "file_id", "norm"
         )
+        # same kernel as pipeline._prepared — append == from-scratch
+        # equality requires identical shingle hashing on both paths
+        from ..functions.kernels import char_shingle_hashes_kernel
+
         sh = rows.withColumn(
-            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
-        ).withColumn(
             "sh_hashes",
-            F.array_distinct(fast_shingle_hashes(F.col("shingles"))).cast("array<int>"),
+            char_shingle_hashes_kernel(F.col("norm"), cfg.char_shingle_k),
         )
         return sh.withColumn(
             "n_tokens", F.size(F.split(F.col("norm"), " "))
@@ -359,9 +366,13 @@ def append_batch(
     # pass exactly like pipeline._edges
     def _new_edges() -> DataFrame:
         sigs_all = sigs_A.unionByName(sigs_new)
+        # hash_bands mirrors the base pipeline (append completeness needs
+        # the same banding function a full run uses); dedup=False — the
+        # ordered() canonicalization below carries its own distinct
         lsh = candidate_pairs_linkage(
             sigs_new, sigs_all, "file_id", "minhash", cfg,
             cap_buckets=True, size_col="n_shingles",
+            hash_bands=True, dedup=False,
         ).filter(F.col("id_a") != F.col("id_b"))
 
         short_all = short_A.unionByName(short_new)
@@ -435,10 +446,16 @@ def append_batch(
     # base/delta stages already on disk
     substring_view = None
     if _substring_enabled(base, epoch):
+        # kernel pre-cap, mirroring pipeline's 08a — every fps table in a
+        # workdir (base + deltas) is pre-capped, so the linkage anchor pass
+        # skips its corpus-wide occurrence window
+        from ..operators.suffix import MAX_OCC_PER_DOC
+
         fps_new = store.run(
             f"e{nxt}_fps_new",
             lambda: add_fingerprints_pos(
-                prepared_new.select("file_id", "norm"), "norm", cfg
+                prepared_new.select("file_id", "norm"), "norm", cfg,
+                max_occ_per_doc=MAX_OCC_PER_DOC,
             ).select("file_id", "fps_pos"),
         )
 
@@ -448,6 +465,7 @@ def append_batch(
                 fps_all,
                 new_groups.select(F.col("nrep_id").alias("file_id")),
                 "file_id", "fps_pos", cfg, template_filter=True,
+                max_occ_per_doc=0,  # pre-capped in the kernel
             )
             # pairs that are also near-dup edges are already reported there.
             # localCheckpoint: consumed twice (id prefilter + verify join) —

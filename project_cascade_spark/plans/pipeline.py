@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import CascadeConfig
-from ..functions.text import char_shingles, normalize_code
+from ..functions.text import normalize_code
 from ..operators.connected_components import connected_components
 from ..operators.dedup import add_content_hash
 from ..operators.minhash_lsh import add_minhash, candidate_pairs
@@ -115,8 +115,10 @@ def dedup_pipeline(
     # per-row hashing, and skipping the repartition avoids shuffling the
     # full content bytes once.
     src = code_files
-    if src.rdd.getNumPartitions() < par:
+    src_parts = src.rdd.getNumPartitions()
+    if src_parts < par:
         src = src.repartition(heavy_par)
+        src_parts = heavy_par
     # Kept EAGER deliberately (measured, round 3): a lazy 00_input fuses
     # into its two consumers and re-runs the content scan + sha/md5 pass
     # twice; the scan is bounded by the source's split count, not by
@@ -151,33 +153,37 @@ def dedup_pipeline(
         base = src.select("file_id", "content").join(
             norm_reps_df.select(F.col("nrep_id").alias("file_id")), "file_id"
         )
-        # Explicit repartition: AQE coalesces this small-byte table to 1-2
-        # partitions, which would serialize every downstream per-row stage
-        # (normalization regexes, shingle hashing, minhash kernel,
-        # winnowing) onto 1-2 cores — measured as 3 × ~50s stages at 8k
-        # files.  Heavy per-row work needs partitions ∝ cores regardless of
-        # byte size (4x for balance).
-        base = base.repartition(heavy_par, "file_id")
+        # Balance guard: downstream per-row stages (normalization regexes,
+        # shingle hashing, minhash kernel, winnowing) need partitions ∝
+        # cores regardless of byte size — an AQE-coalesced 1-2-partition
+        # frame was measured as 3 × ~50s serialized stages at 8k files.
+        # When the SOURCE is already split ≥ heavy_par ways, the rep-id
+        # join is a broadcast (ids are tiny) that PRESERVES the scan's
+        # partitioning, so the explicit repartition would be a pure extra
+        # shuffle of the full content bytes — skip it (guide §2.4).  An
+        # under-split source still pays the one balancing shuffle.
+        if src_parts < heavy_par:
+            base = base.repartition(heavy_par, "file_id")
         base = base.withColumn("norm", normalize_code(F.col("content"))).select(
             "file_id", "norm"
         )
-        # verify runs on HASHED shingles — set semantics preserved via
-        # array_distinct (31-bit hash collisions shift Jaccard by <1e-3).
-        # xxhash64 per shingle (the md5 primitive costs ~7µs/call and is
-        # only needed where DuckDB parity matters).  Values live in
-        # [0, 2^31): stored as array<int>, which HALVES the bytes of the
-        # hottest table — the prepared checkpoint and both verify-join
-        # shuffles are shingle-array-dominated (profiled ~1 GB at 30k
-        # files as int64).  The minhash kernel upcasts to int64 on entry,
-        # so signatures are bit-identical.
-        sh = base.withColumn(
-            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
-        )
-        from ..functions.hashing import fast_shingle_hashes  # local to avoid cycle
+        # verify runs on HASHED shingles — set semantics (distinct) and
+        # 31-bit values preserved (collisions shift Jaccard by <1e-3).
+        # Hashing runs in the batched rolling-hash kernel: the old JVM
+        # chain (char_shingles → xxhash64 per shingle) allocated one
+        # k-char substring + one hash call per character and was the
+        # dominant per-row stage; the kernel computes every window hash of
+        # an Arrow batch in a few vectorized numpy passes
+        # (kernels.make_char_shingle_hash_udf).  Values live in [0, 2^31):
+        # stored as array<int>, which HALVES the bytes of the hottest
+        # table — the prepared checkpoint and both verify-join shuffles
+        # are shingle-array-dominated.  The minhash kernel upcasts to
+        # int64 on entry.
+        from ..functions.kernels import char_shingle_hashes_kernel
 
-        sh = sh.withColumn(
+        sh = base.withColumn(
             "sh_hashes",
-            F.array_distinct(fast_shingle_hashes(F.col("shingles"))).cast("array<int>"),
+            char_shingle_hashes_kernel(F.col("norm"), cfg.char_shingle_k),
         )
         sh = sh.withColumn("n_tokens", F.size(F.split(F.col("norm"), " "))).withColumn(
             "n_shingles", F.size("sh_hashes")
@@ -204,11 +210,16 @@ def dedup_pipeline(
 
     signatures = run("03a_signatures", _signatures)
 
+    # hash_bands: int64 band keys (the band table is the widest shuffle of
+    # the blocking stage; the oracle-parity string keys stay on the doc
+    # queries).  dedup=False: the verify stage's (id_a, id_b) groupBy
+    # already deduplicates — the internal distinct would be a second full
+    # shuffle of the collision set for nothing.
     lsh_pairs = run(
         "03_lsh_pairs",
         lambda: candidate_pairs(
             signatures, "file_id", "minhash", cfg, cap_buckets=True,
-            size_col="n_shingles",
+            size_col="n_shingles", hash_bands=True, dedup=False,
         ),
         persist=False,
     )
@@ -312,16 +323,24 @@ def dedup_pipeline(
         # (Stage renamed from 08a_fingerprints: the output schema changed,
         # and resume tokens validate input+config, not code — a stale
         # same-named stage dir would otherwise be served.)
+        # occurrence cap pre-applied in the winnow kernel (row-local, same
+        # earliest-positions semantics) so the anchor-pair stage skips its
+        # corpus-wide row_number window — one shuffle+sort of the exploded
+        # print table removed (guide §2.4)
+        from ..operators.suffix import MAX_OCC_PER_DOC
+
         fps = run(
             "08a_fingerprints_pos",
             lambda: add_fingerprints_pos(
-                prepared.select("file_id", "norm"), "norm", cfg
+                prepared.select("file_id", "norm"), "norm", cfg,
+                max_occ_per_doc=MAX_OCC_PER_DOC,
             ).select("file_id", "fps_pos"),
         )
 
         def _substr() -> DataFrame:
             cand = fingerprint_anchor_pairs(
-                fps, "file_id", "fps_pos", cfg, template_filter=True
+                fps, "file_id", "fps_pos", cfg, template_filter=True,
+                max_occ_per_doc=0,  # pre-capped in the kernel
             )
             # long-substring pairs that are ALSO near-dups are already edges;
             # the side output reports the rest (shared-block detection).
@@ -351,7 +370,7 @@ def link_tables(
     side), verify via the pinned shuffled Jaccard joins with each side
     resolving features against its OWN table (id spaces may overlap).
     """
-    from ..functions.hashing import fast_shingle_hashes
+    from ..functions.kernels import char_shingle_hashes_kernel
     from ..operators.minhash_lsh import candidate_pairs_linkage
 
     def prep(df: DataFrame) -> DataFrame:
@@ -361,10 +380,8 @@ def link_tables(
         )
         base = base.withColumn("norm", normalize_code(F.col("content")))
         sh = base.withColumn(
-            "shingles", char_shingles(F.col("norm"), cfg.char_shingle_k)
-        ).withColumn(
             "sh_hashes",
-            F.array_distinct(fast_shingle_hashes(F.col("shingles"))).cast("array<int>"),
+            char_shingle_hashes_kernel(F.col("norm"), cfg.char_shingle_k),
         ).withColumn("n_shingles", F.size("sh_hashes"))
         if use_kernel:
             from ..functions.kernels import apply_minhash
@@ -381,7 +398,7 @@ def link_tables(
     src_p, reg_p = prep(source), prep(registry)
     cand = candidate_pairs_linkage(
         src_p, reg_p, "file_id", "minhash", cfg,
-        cap_buckets=True, size_col="n_shingles",
+        cap_buckets=True, size_col="n_shingles", hash_bands=True,
     )
     ver = jaccard_verify(
         cand, src_p, "file_id", "sh_hashes", cfg, docs_b=reg_p

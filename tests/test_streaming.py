@@ -254,9 +254,11 @@ def test_streamed_near_dup_refines_batch_compaction(spark, tmp_path):
 
     from project_cascade_spark.config import CODE_CONFIG
     from project_cascade_spark.datagen import generate_code_files
-    from project_cascade_spark.functions.hashing import fast_shingle_hashes
-    from project_cascade_spark.functions.kernels import apply_minhash
-    from project_cascade_spark.functions.text import char_shingles, normalize_code
+    from project_cascade_spark.functions.kernels import (
+        apply_minhash,
+        char_shingle_hashes_kernel,
+    )
+    from project_cascade_spark.functions.text import normalize_code
     from project_cascade_spark.plans.pipeline import dedup_pipeline
     from project_cascade_spark.sources.tables import load_code_files
     from project_cascade_spark.streaming.incremental import (
@@ -273,10 +275,10 @@ def test_streamed_near_dup_refines_batch_compaction(spark, tmp_path):
     sigs = (
         df.withColumn("norm", normalize_code(F.col("content")))
         .withColumn(
+            # same kernel as the batch pipeline's prepared stage — the
+            # refinement comparison needs identical shingle hashing
             "sh",
-            F.array_distinct(
-                fast_shingle_hashes(char_shingles(F.col("norm"), cfg.char_shingle_k))
-            ).cast("array<int>"),
+            char_shingle_hashes_kernel(F.col("norm"), cfg.char_shingle_k),
         )
         .withColumn("minhash", apply_minhash(F.col("sh"), cfg))
         .select("file_id", "minhash")
