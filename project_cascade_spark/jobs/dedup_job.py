@@ -162,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.workdir,
             fingerprint=input_fingerprint(args.input, args.preset, cfg),
         )
+        # pin the chain's config in the workdir so a later --append or
+        # --compact-to with a different preset errors instead of silently
+        # re-filtering under the wrong geometry
+        from project_cascade_spark.plans.append import write_config_marker
+
+        write_config_marker(args.workdir, cfg)
     res = dedup_pipeline(
         df, cfg, store=store, with_substring_pass=not args.no_substring_pass
     )

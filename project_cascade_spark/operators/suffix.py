@@ -432,12 +432,18 @@ def verify_long_substring_anchored(
     identical (both are exact)."""
     a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    # AQE coalesces the candidate join to ~1 partition (small bytes); the
-    # Python work below needs partitions ∝ cores, 4x for load balance —
-    # one straggler partition otherwise extends the whole stage
+    # Balance repartition BEFORE attaching the texts: the Python work below
+    # needs partitions ∝ cores (AQE would coalesce the small-byte candidate
+    # join to ~1 partition), but repartitioning after the joins moved every
+    # pair WITH both attached texts — ~2 text copies per pair through a
+    # second full shuffle.  Repartitioning the anchor rows first shuffles
+    # only (ids, anchors); when the text side broadcasts (any corpus whose
+    # norm column fits the threshold) the joins preserve that partitioning
+    # and the text bytes never shuffle at all (guide §2.3/§8: move the
+    # lightweight proxy, attach the payload once).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    joined = joined.repartition(max(4 * par, 16))
+    pairs = pairs.repartition(max(4 * par, 16))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
     min_len = cfg.min_common_substring
     k = cfg.winnow_k
 

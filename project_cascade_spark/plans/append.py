@@ -110,6 +110,64 @@ def _delta_name(stage: str, epoch: int) -> str:
     return f"e{epoch}_{DELTA_OF[stage]}"
 
 
+# --------------------------------------------------------------- config pin
+# A workdir records the pipeline config its chain was built with, so append
+# and compact can refuse a mismatched cfg instead of silently re-filtering
+# or re-verifying under different geometry (round-5 ADVICE: compact()
+# defaulted to CODE_CONFIG regardless of the chain's --preset).
+
+def write_config_marker(root: str, cfg: CascadeConfig) -> None:
+    """Persist the chain's config at <root>/_config (atomic).  Called at
+    base-run time; an existing marker is overwritten — the StageStore
+    fingerprint already forces full recompute under a changed config, so
+    whatever chain lives in the dir after that run IS the new config's."""
+    import dataclasses
+    import json
+    import os
+
+    payload = {"fields": dataclasses.asdict(cfg), "digest": config_digest(cfg)}
+    tmp = os.path.join(root, "_config.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "_config"))
+
+
+def config_digest(cfg: CascadeConfig) -> str:
+    import dataclasses
+    import json
+
+    return hashlib.sha256(
+        json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
+    ).hexdigest()
+
+
+def load_config_marker(root: str) -> CascadeConfig | None:
+    """The chain's recorded config, or None for a pre-marker workdir."""
+    import json
+    import os
+
+    path = os.path.join(root, "_config")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        payload = json.load(f)
+    cfg = CascadeConfig(**payload["fields"])
+    if config_digest(cfg) != payload.get("digest"):
+        raise RuntimeError(f"corrupt config marker at {path}")
+    return cfg
+
+
+def _validate_chain_config(root: str, cfg: CascadeConfig, op: str) -> None:
+    stored = load_config_marker(root)
+    if stored is not None and config_digest(stored) != config_digest(cfg):
+        raise RuntimeError(
+            f"{op} called with a config that does not match the one "
+            f"{root}'s chain was built with ({stored!r} vs {cfg!r}); "
+            "pass the chain's own preset/config — re-filtering under "
+            "different geometry would corrupt the stage contract"
+        )
+
+
 def _read_state(base: StageStore, stage: str, epoch: int, cols=None) -> DataFrame:
     """Corpus state of `stage` at `epoch`: base table ∪ every delta ≤ epoch.
     Deltas are batch-sized, so assembling state is a cheap multi-parquet
@@ -228,6 +286,7 @@ def append_batch(
     spark = new_files.sparkSession
     par = spark.sparkContext.defaultParallelism
     heavy_par = max(4 * par, 16)
+    _validate_chain_config(root, cfg, "append_batch")
     epoch = current_epoch(root)
     base = StageStore(spark, root)  # read-only view of the base stages
 
@@ -566,20 +625,30 @@ def compact(
     boilerplate filter's distinct-document frequencies are recomputed over
     the merged corpus and the retained pair set is re-filtered/re-verified
     (see _recompacted_substring_pairs), so the compacted 08 stage equals
-    the from-scratch pass even when a print crossed the boilerplate
-    threshold mid-chain.  `cfg` must be the chain's pipeline config
-    (defaults to CODE_CONFIG, the dedup_job default preset).
+    the from-scratch pass FOR THAT divergence even when a print crossed
+    the boilerplate threshold mid-chain (pairs suppressed/kept through
+    epoch-frozen LSH-cap edge differences — the documented cap-saturation
+    caveat — remain out of this heal's scope).  `cfg` must be the chain's
+    pipeline config: cfg=None loads the workdir's recorded config marker
+    (falling back to CODE_CONFIG only for pre-marker dirs), and a passed
+    cfg is VALIDATED against the marker — a mismatch errors instead of
+    silently re-filtering under the wrong geometry.
     """
     if cfg is None:
-        from ..config import CODE_CONFIG
+        cfg = load_config_marker(root_src)
+        if cfg is None:
+            from ..config import CODE_CONFIG
 
-        cfg = CODE_CONFIG
+            cfg = CODE_CONFIG
+    else:
+        _validate_chain_config(root_src, cfg, "compact")
     epoch = current_epoch(root_src)
     base = StageStore(spark, root_src)
     cl_stage = "06_clusters" if epoch == 0 else f"e{epoch}_clusters"
     as_stage = "07_assignments" if epoch == 0 else f"e{epoch}_assignments"
     fp = "compact:" + _base_tokens_digest(base, epoch)
     dst = StageStore(spark, root_dst, fingerprint=fp)
+    write_config_marker(root_dst, cfg)  # compacted dirs carry the pin too
     for stage in BASE_STAGES:
         dst.run(stage, lambda s=stage: _read_state(base, s, epoch))
     dst.run("06_clusters", lambda: base.read(cl_stage))
@@ -611,7 +680,9 @@ def _recompacted_substring_pairs(
 ) -> DataFrame:
     """Re-filter the retained substring pair set under MERGED-corpus
     template frequencies — the compaction step that equalizes the append
-    chain with a from-scratch run.
+    chain with a from-scratch run FOR THE FROZEN-FREQUENCY divergence
+    (pairs suppressed or kept through epoch-frozen LSH-cap edge
+    differences — the cap-saturation caveat — are out of scope here).
 
     Why this is sufficient for exactness: distinct-document frequencies
     are MONOTONE in the corpus (appending files never lowers a print's
@@ -645,9 +716,12 @@ def _recompacted_substring_pairs(
         .unionByName(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    # suspect pairs: share >= 1 now-over-threshold print.  Both join sides
-    # are restricted to ids that appear in retained pairs, so the self-join
-    # is pair-bounded even when a boilerplate print spans thousands of docs.
+    # suspect pairs: share >= 1 now-over-threshold print.  Driven from the
+    # PAIRS side (round-5 ADVICE): join pairs → prints of id_a, semi-join
+    # on (id_b, fp) — intermediates stay bounded by |pairs| × prints-per-
+    # doc.  The old over_fps self-join on fp materialized ~k² rows for a
+    # boilerplate print shared by k pair-member docs, exactly on the
+    # boilerplate-heavy corpora where prints go over threshold.
     over_fps = (
         fpsx.join(pair_ids, "_id", "left_semi")
         .join(over, "fp", "left_semi")
@@ -655,12 +729,16 @@ def _recompacted_substring_pairs(
         .distinct()
     )
     sus = (
-        over_fps.select(F.col("_id").alias("id_a"), "fp")
-        .join(over_fps.select(F.col("_id").alias("id_b"), "fp"), "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select("id_a", "id_b")
+        .join(
+            over_fps.select(F.col("_id").alias("id_a"), "fp"), "id_a"
+        )
+        .join(
+            over_fps.select(F.col("_id").alias("id_b"), "fp"),
+            ["id_b", "fp"], "left_semi",
+        )
         .select("id_a", "id_b")
         .distinct()
-        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
         .localCheckpoint(eager=True)  # consumed by anti-join + semi-join + verify
     )
     clean = pairs.join(sus, ["id_a", "id_b"], "left_anti")
@@ -668,20 +746,23 @@ def _recompacted_substring_pairs(
     # re-derive the suspect pairs exactly as a from-scratch run would:
     # occurrence cap first, then the merged-corpus template filter (the
     # same order fingerprint_anchor_pairs applies), anchors restricted to
-    # the suspect pairs, anchored exact verification.
-    w = Window.partitionBy("_id", "fp").orderBy("pos")
-    capped = (
-        fpsx.withColumn("_occ", F.row_number().over(w))
-        .filter(F.col("_occ") <= max_occ_per_doc)
-        .drop("_occ")
-        .join(over, "fp", "left_anti")
-    )
+    # the suspect pairs, anchored exact verification.  The cap is a
+    # per-document property, so restricting to suspect ids BEFORE the
+    # window (round-5 ADVICE) gives the identical result at suspect-
+    # bounded cost — no corpus-wide window sort per compaction.
     sus_ids = (
         sus.select(F.col("id_a").alias("_id"))
         .unionByName(sus.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    sus_fps = capped.join(sus_ids, "_id", "left_semi")
+    w = Window.partitionBy("_id", "fp").orderBy("pos")
+    sus_fps = (
+        fpsx.join(sus_ids, "_id", "left_semi")
+        .withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") <= max_occ_per_doc)
+        .drop("_occ")
+        .join(over, "fp", "left_anti")
+    )
     left = sus_fps.select(F.col("_id").alias("id_a"), "fp", F.col("pos").alias("pos_a"))
     right = sus_fps.select(F.col("_id").alias("id_b"), "fp", F.col("pos").alias("pos_b"))
     anchors = (

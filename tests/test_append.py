@@ -313,3 +313,43 @@ def test_epoch_marker_robustness(tmp_path):
     os.makedirs(os.path.join(root, "e1_batch_files"))
     with pytest.raises(RuntimeError, match="no _epoch marker"):
         current_epoch(root)
+
+
+def test_config_marker_pins_chain_config(spark, tmp_path):
+    """Round-6 (round-5 ADVICE): a workdir records the config its chain was
+    built with; append/compact with a mismatched cfg must error instead of
+    silently re-filtering under the wrong geometry, and compact(cfg=None)
+    must load the recorded config rather than defaulting."""
+    import pytest
+
+    from project_cascade_spark.config import DEFAULT_CONFIG
+    from project_cascade_spark.plans.append import (
+        compact,
+        config_digest,
+        load_config_marker,
+        write_config_marker,
+    )
+
+    pdf, _ = generate_code_files(120)
+    a, b = _split(pdf)
+    wd = str(tmp_path / "wd")
+    store = StageStore(spark, wd, fingerprint="base-a")
+    dedup_pipeline(
+        load_code_files(spark, a), CODE_CONFIG, store=store,
+        with_substring_pass=False,
+    ).assignments.count()
+    write_config_marker(wd, CODE_CONFIG)
+    assert config_digest(load_config_marker(wd)) == config_digest(CODE_CONFIG)
+
+    with pytest.raises(RuntimeError, match="does not match"):
+        append_batch(load_code_files(spark, b), DEFAULT_CONFIG, wd)
+    with pytest.raises(RuntimeError, match="does not match"):
+        compact(spark, wd, str(tmp_path / "wd_c0"), DEFAULT_CONFIG)
+
+    # matching config passes, and cfg=None loads the marker; the compacted
+    # dir carries the pin forward
+    append_batch(load_code_files(spark, b), CODE_CONFIG, wd).assignments.count()
+    dst = str(tmp_path / "wd_c")
+    rep = compact(spark, wd, dst, cfg=None)
+    assert rep["files"] == len(pdf)
+    assert config_digest(load_config_marker(dst)) == config_digest(CODE_CONFIG)
