@@ -108,6 +108,7 @@ def candidate_pairs(
     size_col: str | None = None,
     hash_bands: bool = False,
     dedup: bool = True,
+    persist_bands: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from LSH band collisions.
 
@@ -123,6 +124,12 @@ def candidate_pairs(
     dedup: set False when the CALLER already deduplicates pairs (the
     pipeline's verify stage groupBys on (id_a, id_b)) — skipping the
     internal distinct saves one full shuffle of the collision set.
+    persist_bands: localCheckpoint the (capped) band table before the
+    self-join.  The two join sides are the SAME subtree and Spark does not
+    reuse the exchange across them (verified in the physical plan), so an
+    unpersisted band table pays the explode + salted-cap window TWICE —
+    measured ~1.7x slower at 30k files.  Costs one eager materialization
+    of ids+band keys (~20 B/row); the operator stays lazy without it.
     """
     bk = band_keys_hashed if hash_bands else band_keys
     cols = [F.col(id_col), F.explode(bk(F.col(sig_col), cfg)).alias("band")]
@@ -146,6 +153,8 @@ def candidate_pairs(
         bands = cap_bucket_rows(
             bands, "band", id_col, cfg.max_bucket_size, cfg.cap_salts
         )
+    if persist_bands:
+        bands = bands.localCheckpoint(eager=True)
     lcols = [F.col(id_col).alias("id_a"), F.col("band")]
     rcols = [F.col(id_col).alias("id_b"), F.col("band")]
     if size_col:

@@ -100,6 +100,7 @@ def fingerprint_anchor_pairs(
     cfg: CascadeConfig,
     template_filter: bool = True,
     max_occ_per_doc: int = MAX_OCC_PER_DOC,
+    persist_fps: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, anchors) for pairs sharing >= 1 positional print, with
     anchors = the (pos_a, pos_b) occurrence combinations of the shared
@@ -128,7 +129,13 @@ def fingerprint_anchor_pairs(
     occurrences outside the block — lcs_len can be UNDERestimated, never
     overestimated (anchors only ever extend to real matching characters).
     The planted-repetition pytest in tests/test_suffix.py pins both the
-    bound and the exactness of the common case."""
+    bound and the exactness of the common case.
+
+    persist_fps localCheckpoints the filtered print table before the
+    self-join: the two join sides are the same subtree and Spark does not
+    reuse the exchange across them, so an unpersisted table pays the
+    explode + cap + template-filter chain twice (the pipeline passes
+    True; default keeps the operator lazy)."""
     fps = df.select(F.col(id_col).alias("_id"), F.explode(F.col(fp_col)).alias("p"))
     fps = fps.select("_id", F.col("p.fp").alias("fp"), F.col("p.pos").alias("pos"))
     if max_occ_per_doc:
@@ -147,6 +154,8 @@ def fingerprint_anchor_pairs(
             .filter(F.col("_df") <= cfg.max_bucket_size)
             .drop("_df")
         )
+    if persist_fps:
+        fps = fps.localCheckpoint(eager=True)
     left = fps.select(F.col("_id").alias("id_a"), "fp", F.col("pos").alias("pos_a"))
     right = fps.select(F.col("_id").alias("id_b"), "fp", F.col("pos").alias("pos_b"))
     return (
@@ -195,6 +204,10 @@ def fingerprint_anchor_pairs_linkage(
             .filter(F.col("_df") <= cfg.max_bucket_size)
             .drop("_df")
         )
+    # the filtered print table feeds BOTH join sides (new side via the
+    # semi-join, all side directly); checkpoint it once — same reasoning
+    # as fingerprint_anchor_pairs' persist_fps
+    fps = fps.localCheckpoint(eager=True)
     new_fps = fps.join(
         new_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
     )

@@ -192,6 +192,15 @@ def dedup_pipeline(
 
     prepared = run("02_prepared", _prepared)
 
+    # --- independent post-prepared stages (signatures, short-doc simhash,
+    # positional prints) share no dependencies: in the fused no-store run
+    # they are submitted from a small thread pool so one stage's job tail
+    # back-fills cores with another's tasks (guide §2.6) instead of paying
+    # three flat stage latencies back to back.  With a store the chain
+    # stays sequential — StageStore's resume token is an ORDERED sha256
+    # chain of upstream stage names, so parallel run() calls would race it.
+    overlap = store is None
+
     def _signatures() -> DataFrame:
         # persisted: candidate_pairs self-joins the band table, so an
         # unpersisted signature column would run the minhash kernel TWICE
@@ -208,22 +217,6 @@ def dedup_pipeline(
             "file_id", "n_shingles", "minhash"
         )
 
-    signatures = run("03a_signatures", _signatures)
-
-    # hash_bands: int64 band keys (the band table is the widest shuffle of
-    # the blocking stage; the oracle-parity string keys stay on the doc
-    # queries).  dedup=False: the verify stage's (id_a, id_b) groupBy
-    # already deduplicates — the internal distinct would be a second full
-    # shuffle of the collision set for nothing.
-    lsh_pairs = run(
-        "03_lsh_pairs",
-        lambda: candidate_pairs(
-            signatures, "file_id", "minhash", cfg, cap_buckets=True,
-            size_col="n_shingles", hash_bands=True, dedup=False,
-        ),
-        persist=False,
-    )
-
     def _short_sim() -> DataFrame:
         short = prepared.filter(F.col("n_tokens") <= cfg.short_doc_max_tokens)
         short = short.withColumn("tokens", F.split(F.col("norm"), " "))
@@ -231,7 +224,55 @@ def dedup_pipeline(
             "file_id", "simhash"
         )
 
-    short_sim = run("04a_simhash", _short_sim)
+    from ..operators.suffix import MAX_OCC_PER_DOC
+
+    def _fps() -> DataFrame:
+        # occurrence cap pre-applied in the winnow kernel (row-local, same
+        # earliest-positions semantics) so the anchor-pair stage skips its
+        # corpus-wide row_number window — one shuffle+sort of the exploded
+        # print table removed (guide §2.4)
+        return add_fingerprints_pos(
+            prepared.select("file_id", "norm"), "norm", cfg,
+            max_occ_per_doc=MAX_OCC_PER_DOC,
+        ).select("file_id", "fps_pos")
+
+    fps = None
+    if overlap:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_sig = pool.submit(run, "03a_signatures", _signatures)
+            f_short = pool.submit(run, "04a_simhash", _short_sim)
+            f_fps = (
+                pool.submit(run, "08a_fingerprints_pos", _fps)
+                if with_substring_pass else None
+            )
+            signatures = f_sig.result()
+            short_sim = f_short.result()
+            if f_fps is not None:
+                fps = f_fps.result()
+    else:
+        signatures = run("03a_signatures", _signatures)
+        short_sim = run("04a_simhash", _short_sim)
+        if with_substring_pass:
+            fps = run("08a_fingerprints_pos", _fps)
+
+    # hash_bands: int64 band keys (the band table is the widest shuffle of
+    # the blocking stage; the oracle-parity string keys stay on the doc
+    # queries).  dedup=False: the verify stage's (id_a, id_b) groupBy
+    # already deduplicates — the internal distinct would be a second full
+    # shuffle of the collision set for nothing.
+    # persist_bands: the band self-join would otherwise compute the
+    # explode + salted-cap chain once per side (no exchange reuse).
+    lsh_pairs = run(
+        "03_lsh_pairs",
+        lambda: candidate_pairs(
+            signatures, "file_id", "minhash", cfg, cap_buckets=True,
+            size_col="n_shingles", hash_bands=True, dedup=False,
+            persist_bands=True,
+        ),
+        persist=False,
+    )
 
     short_pairs = run(
         "04_short_pairs",
@@ -314,33 +355,15 @@ def dedup_pipeline(
     substring_pairs = None
     if with_substring_pass:
 
-        # persisted for the same self-join reason as the signatures.
-        # POSITIONAL prints (round 3): the non-positional path verified
-        # candidates with a per-pair gram-set LCS — ~300µs/pair of Python,
-        # which a 300k-file run turned into hours across 14.7M
-        # chance-collision candidates.  Anchored extension from (pos_a,
-        # pos_b) print alignments is exact and ~20x cheaper per pair.
-        # (Stage renamed from 08a_fingerprints: the output schema changed,
-        # and resume tokens validate input+config, not code — a stale
-        # same-named stage dir would otherwise be served.)
-        # occurrence cap pre-applied in the winnow kernel (row-local, same
-        # earliest-positions semantics) so the anchor-pair stage skips its
-        # corpus-wide row_number window — one shuffle+sort of the exploded
-        # print table removed (guide §2.4)
-        from ..operators.suffix import MAX_OCC_PER_DOC
-
-        fps = run(
-            "08a_fingerprints_pos",
-            lambda: add_fingerprints_pos(
-                prepared.select("file_id", "norm"), "norm", cfg,
-                max_occ_per_doc=MAX_OCC_PER_DOC,
-            ).select("file_id", "fps_pos"),
-        )
-
+        # fps was computed up with the other post-prepared stages
+        # (persisted for the same self-join reason as the signatures; the
+        # anchored-extension design notes live on add_fingerprints_pos /
+        # verify_long_substring_anchored).
         def _substr() -> DataFrame:
             cand = fingerprint_anchor_pairs(
                 fps, "file_id", "fps_pos", cfg, template_filter=True,
                 max_occ_per_doc=0,  # pre-capped in the kernel
+                persist_fps=True,   # self-join: avoid computing the chain twice
             )
             # long-substring pairs that are ALSO near-dups are already edges;
             # the side output reports the rest (shared-block detection).
