@@ -12,8 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import CascadeConfig, DEFAULT_CONFIG
-from .functions.hashing import hash60, shingle_hashes
-from .functions.text import normalize_ws, word_shingles
+from .functions.hashing import hash60
+from .functions.text import normalize_ws
 from .operators import textstats
 from .operators.assign import attach_clusters
 from .operators.connected_components import connected_components
@@ -214,8 +214,13 @@ def cascade_band_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _spread(load_testdata(spark, sf_dir, "embeddings"))
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread=False for the cheap brute-force queries: their scoring is
+    # trivial at dim 64 and the broadcast crossJoin parallelizes off the
+    # scan, so the spreading shuffle would be pure overhead there
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    if spread:
+        emb = _spread(emb)
     # float64 arithmetic so values match the oracle exactly
     return emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
 
@@ -223,7 +228,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)
     queries = emb.filter(F.col("vec_id") < EMB_QUERIES)
     out = brute_force_topk(emb, queries, "vec_id", "embedding", EMB_TOPK)
     return out.select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
