@@ -72,15 +72,24 @@ def _scoring_sides(corpus: DataFrame, id_col: str, vec_col: str):
     return qv, nv
 
 
-def _parallelism_floor(df: DataFrame, per_core: int = 4) -> DataFrame:
-    """Repartition an IDS-ONLY frame so the compute-heavy stage that follows
-    (vector join + per-pair scoring) runs wide.  AQE coalesces the candidate
-    shuffle by BYTES, and an ids-only pair set is tiny — measured: 561k
-    dim-768 scorings coalesced onto 4 tasks, a 23 s straggler on a 37 s
-    query.  The repartition shuffles only (q_id, n_id) longs, so its cost is
-    noise next to the scoring it spreads out."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(max(per_core * par, 16))
+def _dedup_pairs_q_partitioned(pairs: DataFrame, per_core: int = 4) -> DataFrame:
+    """Distinct (q_id, n_id) pairs, hash-partitioned by q_id in ONE exchange.
+
+    Fuses what were three exchanges of the candidate set into one
+    (guide §2.4): repartition(n, q_id) satisfies the dedup aggregate's
+    clustering requirement (q_id ⊆ {q_id, n_id}), the explicit partition
+    count is the parallelism floor AQE byte-coalescing would otherwise
+    erase (ids-only pairs are tiny bytes — measured before the floor
+    existed: 561k dim-768 scorings coalesced onto 4 tasks, a 23 s
+    straggler on a 37 s query), and the q_id layout survives the scoring
+    joins (broadcast at bench scale; n_id-join-first at cluster scale) so
+    the per-query top-k window needs no exchange of the scored rows.
+    Per-query candidate counts are bounded by the bucket/cell caps, so
+    keying the one exchange by q_id cannot concentrate a degenerate key."""
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(max(per_core * par, 16), "q_id").dropDuplicates(
+        ["q_id", "n_id"]
+    )
 
 
 def brute_force_topk(
@@ -209,6 +218,7 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     use_kernel: bool = False,
     score_with_arrow: bool = False,
+    scoring_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the cell-partitioned counterpart to
     srp_lsh_topk.  Every vector is assigned to its nearest coarse centroid
@@ -299,14 +309,22 @@ def ivf_topk(
     probes = assigned.select(
         F.col("_id").alias("q_id"), F.explode("_probes").alias("cell")
     )
-    cand = _parallelism_floor(
+    cand = _dedup_pairs_q_partitioned(
         probes.join(cells.select(F.col("_id").alias("n_id"), "cell"), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
-        .dropDuplicates(["q_id", "n_id"])
     )
-    qv, nv = _scoring_sides(corpus, id_col, vec_col)
-    scored = _score_joined(cand.join(qv, "q_id").join(nv, "n_id"), score_with_arrow, dim)
+    # scoring_corpus: same rows as corpus, but WITHOUT any caller-side
+    # balancing repartition — the sides are broadcast-built (bench scale)
+    # or re-shuffled by their join key (cluster scale) either way, so a
+    # pre-spread layout is one full-vector exchange of pure overhead
+    qv, nv = _scoring_sides(
+        scoring_corpus if scoring_corpus is not None else corpus, id_col, vec_col
+    )
+    # n_id join FIRST, q_id join LAST: if the vector joins ever shuffle
+    # (non-broadcast corpus at cluster scale), the scored frame leaves the
+    # last join partitioned by q_id — the window's requirement
+    scored = _score_joined(cand.join(nv, "n_id").join(qv, "q_id"), score_with_arrow, dim)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -351,6 +369,7 @@ def srp_lsh_topk(
     cap_salt_expr=None,
     use_kernel: bool = False,
     score_with_arrow: bool = False,
+    scoring_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: L independent SRP hash tables, candidate
     union across tables, exact cosine within bucket (classic multi-table
@@ -410,15 +429,20 @@ def srp_lsh_topk(
     b = b.localCheckpoint(eager=True)
     left = b.select(F.col("_id").alias("q_id"), "srp_table", "srp_bucket")
     right = b.select(F.col("_id").alias("n_id"), "srp_table", "srp_bucket")
-    cand = _parallelism_floor(
+    cand = _dedup_pairs_q_partitioned(
         left.join(right, ["srp_table", "srp_bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
-        .dropDuplicates(["q_id", "n_id"])
     )
-    # vectors join in exactly once per side, post-dedup
-    qv, nv = _scoring_sides(corpus, id_col, vec_col)
-    scored = _score_joined(cand.join(qv, "q_id").join(nv, "n_id"), score_with_arrow, dim)
+    # vectors join in exactly once per side, post-dedup; n_id first / q_id
+    # LAST so a shuffled vector join leaves the q_id layout for the window.
+    # scoring_corpus: same rows, minus any caller-side balancing
+    # repartition (broadcast-built or join-shuffled either way — see
+    # ivf_topk)
+    qv, nv = _scoring_sides(
+        scoring_corpus if scoring_corpus is not None else corpus, id_col, vec_col
+    )
+    scored = _score_joined(cand.join(nv, "n_id").join(qv, "q_id"), score_with_arrow, dim)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -332,8 +332,7 @@ def dedup_pipeline(
                 "file_id",
                 "content_sha",
                 F.coalesce(
-                    F.coalesce(F.col("cluster_id"), F.col("nrep_id")),
-                    F.col("file_id"),
+                    F.col("cluster_id"), F.col("nrep_id"), F.col("file_id")
                 ).alias("cluster_id"),
             )
         )

@@ -257,6 +257,10 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=EMB_DIM, k=EMB_TOPK,
         n_planes=EMB_ANN_PLANES, n_tables=EMB_ANN_TABLES, seed=EMB_ANN_SEED,
         use_kernel=True,
+        # scoring sides skip the _spread shuffle: broadcast-built here,
+        # join-shuffled at scale — the balancing layout helps only the
+        # per-row bucketing kernel scan
+        scoring_corpus=_emb(spark, sf_dir, spread=False),
     )
     return out.select(
         "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -327,6 +331,9 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=EMB_IVF_CELLS, n_probe=EMB_IVF_PROBE,
         centroids=_trained_ivf_centroids_spark(spark, sf_dir),
         use_kernel=True,
+        # see emb_ann_lsh: the spread layout helps only the assignment
+        # kernel scan; the scoring sides re-read the table unspread
+        scoring_corpus=_emb(spark, sf_dir, spread=False),
     )
     return out.select(
         "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
