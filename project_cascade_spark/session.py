@@ -129,6 +129,28 @@ def _warm_python_workers(spark: SparkSession) -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # One TINY structural job (2k long rows: exchange → aggregate →
+    # broadcast join → window) initializes the shuffle writer/reader,
+    # broadcast, and window execution machinery that the first real query
+    # otherwise pays for inside its measured wall (~1-1.4 s at local[32],
+    # measured cold-vs-warm).  Deliberately tiny and flat-typed: a
+    # heavier warm-up that mimicked real join volume measured NET
+    # NEGATIVE (GC/code-cache churn) — see OPTIMIZATION_r06.md §6c.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).repartition(16, "id")
+    g = df.groupBy(F.pmod("id", F.lit(7)).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    j = df.withColumn("k", F.pmod("id", F.lit(7))).join(F.broadcast(g), "k")
+    w = Window.partitionBy("k").orderBy("id")
+    (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    )
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an iceberg-spark-runtime jar is on the session classpath.
