@@ -280,7 +280,10 @@ def _trained_ivf_centroids_spark(spark: SparkSession, sf_dir: str):
     from .operators.similarity import train_ivf_centroids
 
     rows = (
-        _emb(spark, sf_dir)
+        # spread=False: the training sample is a 512-row pushed-down scan
+        # filter — the _spread repartition would shuffle the whole table
+        # before dropping all but the sample
+        _emb(spark, sf_dir, spread=False)
         .filter(F.col("vec_id") < EMB_IVF_TRAIN_SAMPLE)
         .orderBy("vec_id")
         .select("embedding")
