@@ -129,3 +129,30 @@ def test_ivf_cells_capped(spark):
     )
     mx = out.groupBy("q_id").count().agg(F.max("count")).first()[0]
     assert mx <= 10
+
+
+def test_ann_candidate_exchange_fusion_plan(spark):
+    """Round-6 §6b plan contract: the ids-only candidate set crosses ONE
+    exchange (repartition by q_id feeds the dedup aggregate AND the
+    per-query top-k window — guide §2.4), and the window sits on the join
+    output with no exchange below it.  A regression re-introducing the
+    dropDuplicates exchange, the separate floor repartition, or the
+    window re-shuffle shows up as extra shuffle Exchange nodes."""
+    emb = _emb(spark)
+    out = srp_lsh_topk(
+        emb, "vec_id", "embedding", dim=64, k=3, n_planes=4, n_tables=2,
+        seed=1, use_kernel=True,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    n_shuffle = tree.count("Exchange") - tree.count("BroadcastExchange")
+    # one fused candidate exchange; the scoring sides may add their own
+    # (non-broadcast) exchanges at other scales, but at this size they
+    # broadcast — so exactly 1 shuffle exchange survives
+    assert n_shuffle == 1, f"expected 1 shuffle Exchange, got {n_shuffle}:\n{tree}"
+    # the Window must not sit above an Exchange (its q_id clustering is
+    # satisfied by the fused repartition surviving the broadcast joins)
+    above_window = tree.split("Window")[0]
+    assert "Exchange" not in above_window.replace("BroadcastExchange", ""), tree
