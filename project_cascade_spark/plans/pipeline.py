@@ -313,7 +313,33 @@ def dedup_pipeline(
             F.when(lsh_ok, F.lit("minhash_lsh")).otherwise(F.lit("simhash")).alias("method"),
         )
 
-    edges = run("05_edges", _edges)
+    def _anchor_cand() -> DataFrame:
+        return fingerprint_anchor_pairs(
+            fps, "file_id", "fps_pos", cfg, template_filter=True,
+            max_occ_per_doc=0,  # pre-capped in the kernel
+            persist_fps=True,   # self-join: avoid computing the chain twice
+        )
+
+    anchor_cand = None
+    if overlap and with_substring_pass:
+        # guide §2.6 again: the anchor-candidate derivation (print explode
+        # → template filter → self-join → anchor groupBy) depends only on
+        # `fps`, yet as a lazy subtree it ran AFTER the dominant edges
+        # verify inside the final action.  In the fused run, materialize
+        # it concurrently with 05_edges so its jobs back-fill the verify
+        # stage's tail (measured ~8 s of independent work at n8/100k
+        # against a ~26 s edges wall).  The StageStore path keeps the
+        # sequential lazy shape — its durable stage chain is ORDERED and
+        # 08's token must stay derived from the same chain as before.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as pool2:
+            f_edges = pool2.submit(run, "05_edges", _edges)
+            f_cand = pool2.submit(run, "08b_anchor_cands", _anchor_cand)
+            edges = f_edges.result()
+            anchor_cand = f_cand.result()
+    else:
+        edges = run("05_edges", _edges)
 
     def _clusters() -> DataFrame:
         return connected_components(edges, "id_a", "id_b")
@@ -357,13 +383,10 @@ def dedup_pipeline(
         # fps was computed up with the other post-prepared stages
         # (persisted for the same self-join reason as the signatures; the
         # anchored-extension design notes live on add_fingerprints_pos /
-        # verify_long_substring_anchored).
+        # verify_long_substring_anchored).  In the fused run the candidate
+        # table was already materialized concurrently with 05_edges above.
         def _substr() -> DataFrame:
-            cand = fingerprint_anchor_pairs(
-                fps, "file_id", "fps_pos", cfg, template_filter=True,
-                max_occ_per_doc=0,  # pre-capped in the kernel
-                persist_fps=True,   # self-join: avoid computing the chain twice
-            )
+            cand = anchor_cand if anchor_cand is not None else _anchor_cand()
             # long-substring pairs that are ALSO near-dups are already edges;
             # the side output reports the rest (shared-block detection).
             fresh = cand.join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
